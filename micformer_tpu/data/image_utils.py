@@ -1,0 +1,195 @@
+"""Host-side (numpy) image utilities with exact reference-parity semantics.
+
+Parity targets (reference file:line):
+  - min-max / percentile / z-score normalizers: MicFormer/dataset/image_utils.py:48-78
+  - random pad-or-crop jitter: MicFormer/dataset/image_utils.py:8-45
+  - MM-WHS one-hot encoding:   MicFormer/dataset/MMWHS.py:414-425
+  - trilinear / nearest resize semantics of torch.nn.functional.interpolate
+    (align_corners=False half-pixel sampling / floor nearest), which the reference
+    applies in MMWHS.py:332,342 — reimplemented here in numpy so the host pipeline
+    has no torch dependency.
+
+These run once per volume (results are cached to .npy by the dataset layer);
+on-device augmentation lives in micformer_tpu/data/transforms.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# MM-WHS label values for the 7 cardiac structures (MMWHS.py:289).
+MMWHS_LABEL_VALUES = (205, 420, 500, 550, 600, 820, 850)
+NUM_CLASSES = 8  # background + 7 structures
+
+
+# ---------------------------------------------------------------------------
+# Intensity normalization (image_utils.py:48-78 parity)
+# ---------------------------------------------------------------------------
+
+def minmax_normalize(image: np.ndarray) -> np.ndarray:
+    """Full-volume min-max scaler (reference `normalize`, image_utils.py:48-55)."""
+    image = np.asarray(image, dtype=np.float32)
+    min_ = image.min()
+    scale = image.max() - min_
+    if scale == 0:
+        return np.zeros_like(image)
+    return (image - min_) / scale
+
+
+def percentile_clip_normalize(image: np.ndarray, low_perc=1, high_perc=99) -> np.ndarray:
+    """1-99 percentile clip over nonzero voxels then min-max (image_utils.py:58-72)."""
+    image = np.asarray(image, dtype=np.float32)
+    non_zeros = image > 0
+    if not non_zeros.any():
+        return np.zeros_like(image)
+    low, high = np.percentile(image[non_zeros], [low_perc, high_perc])
+    return minmax_normalize(np.clip(image, low, high))
+
+
+def zscore_normalize(image: np.ndarray) -> np.ndarray:
+    """Z-score over nonzero voxels, zeros untouched (image_utils.py:75-78)."""
+    image = np.asarray(image, dtype=np.float32).copy()
+    mask = image != 0
+    if mask.any():
+        vals = image[mask]
+        std = vals.std()
+        image[mask] = (vals - vals.mean()) / (std if std > 0 else 1.0)
+    return image
+
+
+NORMALIZERS = {
+    "minmax": minmax_normalize,
+    "percentile": percentile_clip_normalize,
+    "zscore": zscore_normalize,
+}
+
+
+# ---------------------------------------------------------------------------
+# One-hot (MMWHS.py:414-425 parity)
+# ---------------------------------------------------------------------------
+
+def label_to_one_hot(label: np.ndarray, label_values=MMWHS_LABEL_VALUES) -> np.ndarray:
+    """8-channel one-hot: ch0 = background (no structure), ch1..7 = structures.
+
+    Exact semantics of MMWHS.label_to_one_hot (MMWHS.py:414-425): background is
+    1 - (label != 0); each structure channel is (label == value).
+    """
+    label = np.asarray(label)
+    chans = [(label == 0).astype(np.int16)]
+    for v in label_values:
+        chans.append((label == v).astype(np.int16))
+    return np.stack(chans, axis=0)
+
+
+def one_hot_to_label(one_hot: np.ndarray, label_values=MMWHS_LABEL_VALUES) -> np.ndarray:
+    """Inverse: argmax channel -> original MM-WHS intensity values."""
+    lut = np.array([0] + list(label_values))
+    return lut[np.argmax(one_hot, axis=0)]
+
+
+# ---------------------------------------------------------------------------
+# Resize (torch F.interpolate parity, numpy implementation)
+# ---------------------------------------------------------------------------
+
+def _linear_weights(out_size: int, in_size: int):
+    """Half-pixel (align_corners=False) source coords: lo index + frac weight."""
+    scale = in_size / out_size
+    x = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    x = np.clip(x, 0, in_size - 1)
+    lo = np.floor(x).astype(np.int64)
+    lo = np.minimum(lo, in_size - 2) if in_size > 1 else np.zeros_like(lo)
+    frac = (x - lo).astype(np.float32)
+    return lo, frac
+
+
+def resize_trilinear(volume: np.ndarray, out_shape) -> np.ndarray:
+    """Trilinear resize of a 3D volume, matching F.interpolate(mode='trilinear',
+    align_corners=False) — the resize the reference applies to images (MMWHS.py:332)."""
+    volume = np.asarray(volume, dtype=np.float32)
+    assert volume.ndim == 3
+    out = volume
+    for axis, out_size in enumerate(out_shape):
+        in_size = out.shape[axis]
+        if in_size == out_size:
+            continue
+        lo, frac = _linear_weights(out_size, in_size)
+        a = np.take(out, lo, axis=axis)
+        b = np.take(out, np.minimum(lo + 1, in_size - 1), axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = out_size
+        w = frac.reshape(shape)
+        out = a * (1.0 - w) + b * w
+    return out
+
+
+def resize_nearest(volume: np.ndarray, out_shape) -> np.ndarray:
+    """Nearest resize matching F.interpolate(mode='nearest') exactly:
+    src = floor(dst * in/out). Applied to one-hot labels in the reference
+    (MMWHS.py:342,358). Works on (..., D, H, W) by resizing the last 3 axes."""
+    volume = np.asarray(volume)
+    lead = volume.ndim - 3
+    out = volume
+    for i, out_size in enumerate(out_shape):
+        axis = lead + i
+        in_size = out.shape[axis]
+        if in_size == out_size:
+            continue
+        idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
+        idx = np.minimum(idx, in_size - 1)
+        out = np.take(out, idx, axis=axis)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Random pad-or-crop jitter (image_utils.py:8-45 parity)
+# ---------------------------------------------------------------------------
+
+def pad_or_crop_image(image, seg=None, target_size=(128, 128, 128), rng=None):
+    """Random-offset crop+pad of (C, Z, Y, X) arrays to target spatial size.
+
+    Semantics of reference pad_or_crop_image / get_crop_slice /
+    get_left_right_idx_should_pad (image_utils.py:8-45): when a dim is larger
+    than target, crop a random window; when smaller, pad with a random
+    left/right split of the deficit. `rng` is a np.random.Generator for
+    determinism (reference used the global `random` module).
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    c, z, y, x = image.shape
+    slices = []
+    pads = [(0, 0)]
+    for target, dim in zip(target_size, (z, y, x)):
+        if dim > target:
+            crop_extent = dim - target
+            left = int(rng.integers(0, crop_extent + 1))
+            slices.append(slice(left, left + target))
+            pads.append((0, 0))
+        else:
+            slices.append(slice(0, dim))
+            deficit = target - dim
+            if deficit > 0:
+                left = int(rng.integers(0, deficit + 1))
+                pads.append((left, deficit - left))
+            else:
+                pads.append((0, 0))
+    image = np.pad(image[:, slices[0], slices[1], slices[2]], pads)
+    if seg is not None:
+        seg = np.pad(seg[:, slices[0], slices[1], slices[2]], pads)
+        return image, seg
+    return image
+
+
+def nonzero_bbox(volume_sum: np.ndarray):
+    """Bounding box (+1 voxel margin clamp at 0) of nonzero region, as
+    MMWHS.py:369-373 computes for `crop_indexes` metadata."""
+    idx = np.nonzero(volume_sum != 0)
+    mins = [max(0, int(a.min()) - 1) for a in idx]
+    maxs = [int(a.max()) + 1 for a in idx]
+    return tuple((lo, hi) for lo, hi in zip(mins, maxs))
+
+
+def pad_batch_to_max_shape(shapes, divisor=16):
+    """Common batch shape: per-axis max rounded up to a multiple of `divisor`
+    (reference batch_utils.py:7-20 semantics, deterministic variant)."""
+    maxes = np.max(np.asarray(shapes), axis=0)
+    return tuple(int(-(-m // divisor) * divisor) for m in maxes)

@@ -1,0 +1,103 @@
+"""Host->device input pipeline: batching, shuffling, prefetch.
+
+Replaces the reference's torch DataLoader (train_mmwhs_noPad.py:133-137) with a
+TPU-oriented design: the host thread assembles numpy batches ahead of time and
+`jax.device_put`s them (optionally with a NamedSharding for data-parallel
+meshes) while the device is busy with the previous step — classic
+double-buffered prefetch. Augmentation does NOT happen here; it is jitted
+on-device (micformer_tpu/data/transforms.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+
+def _stack_batch(samples):
+    images = np.stack([np.asarray(s["image"], dtype=np.float32) for s in samples])
+    labels = np.stack([np.asarray(s["label"], dtype=np.float32) for s in samples])
+    meta = {
+        "patient_id": [s["patient_id"] for s in samples],
+        "crop_indexes": [s.get("crop_indexes") for s in samples],
+    }
+    return images, labels, meta
+
+
+class DataLoader:
+    """Minimal deterministic batching loader over an indexable dataset.
+
+    Args mirror the reference DataLoader usage: batch_size, shuffle, drop_last
+    (train_mmwhs_noPad.py:133-137). `sharding` is a jax.sharding.Sharding to
+    place batches directly into their data-parallel layout; None puts the batch
+    on the default device.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size=1,
+        shuffle=False,
+        drop_last=False,
+        seed=0,
+        sharding=None,
+        prefetch=2,
+        device_put=True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+        self.device_put = device_put
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng = np.random.default_rng(self._rng.integers(0, 2**63))
+            self._rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def _produce(self, out_q: queue.Queue):
+        try:
+            for chunk in self._index_batches():
+                images, labels, meta = _stack_batch([self.dataset[int(j)] for j in chunk])
+                if self.device_put:
+                    if self.sharding is not None:
+                        images = jax.device_put(images, self.sharding)
+                        labels = jax.device_put(labels, self.sharding)
+                    else:
+                        images = jax.device_put(images)
+                        labels = jax.device_put(labels)
+                out_q.put((images, labels, meta))
+            out_q.put(None)
+        except BaseException as e:  # surface worker errors to the consumer
+            out_q.put(e)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
