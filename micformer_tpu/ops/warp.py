@@ -1,0 +1,141 @@
+"""3D trilinear sampling / spatial-transformer warp — the MicFormer hot gather.
+
+Behavioral parity targets (reference, studied not copied):
+  - `SpatialTransformer` (MicFormer/models/STN.py:5-32): flow in voxel units is
+    added to an identity grid, normalized per-axis by 2*(x/(S-1) - 0.5),
+    axis-reordered, and passed to torch `grid_sample` with its DEFAULTS —
+    align_corners=False, padding_mode='zeros', mode='bilinear'.
+  - `_get_ref_points` (MICFormer_self.py:326-337): half-pixel-centered linspace
+    per axis normalized to ~[-1,1] with the reference's axis mix-up (z/=D but
+    y/=W and x/=H — SURVEY.md §2.13); kept faithfully behind `faithful=True`.
+  - `Re_SpatialTransformer` (STN.py:35-42): approximate inverse warp.
+
+TPU design: rather than emulate normalized grid_sample coordinates, everything
+reduces to `trilinear_sample(src, coords)` in absolute voxel space — one
+gather of 8 corners + fused lerp weights, which XLA lowers to vectorized
+dynamic-gathers. Out-of-range corners contribute 0 (zeros padding parity).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def trilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample `src` at fractional voxel coordinates with zeros padding.
+
+    Args:
+      src: [B, D, H, W, C] (channels-last).
+      coords: [B, 3, Do, Ho, Wo] absolute voxel coordinates (axis order z,y,x
+        matching src's D,H,W).
+
+    Returns [B, Do, Ho, Wo, C].
+    """
+    B, D, H, W, C = src.shape
+    cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
+
+    z0 = jnp.floor(cz)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fz, fy, fx = cz - z0, cy - y0, cx - x0
+    z0 = z0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def corner(dz, dy, dx):
+        z = z0 + dz
+        y = y0 + dy
+        x = x0 + dx
+        valid = (
+            (z >= 0) & (z < D) & (y >= 0) & (y < H) & (x >= 0) & (x < W)
+        )
+        zc = jnp.clip(z, 0, D - 1)
+        yc = jnp.clip(y, 0, H - 1)
+        xc = jnp.clip(x, 0, W - 1)
+        # flat gather: [B, Do*Ho*Wo] indices into [B, D*H*W, C]
+        flat = (zc * H + yc) * W + xc
+        src_flat = src.reshape(B, D * H * W, C)
+        vals = jnp.take_along_axis(
+            src_flat, flat.reshape(B, -1, 1).astype(jnp.int32), axis=1
+        ).reshape(z.shape + (C,))
+        wz = jnp.where(dz == 1, fz, 1.0 - fz)
+        wy = jnp.where(dy == 1, fy, 1.0 - fy)
+        wx = jnp.where(dx == 1, fx, 1.0 - fx)
+        w = (wz * wy * wx) * valid.astype(src.dtype)
+        return vals * w[..., None]
+
+    out = corner(0, 0, 0)
+    for dz, dy, dx in [(0, 0, 1), (0, 1, 0), (0, 1, 1), (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]:
+        out = out + corner(dz, dy, dx)
+    return out
+
+
+def _grid_sample_coords(norm_coords: jnp.ndarray, sizes) -> jnp.ndarray:
+    """torch grid_sample(align_corners=False) coordinate transform.
+
+    norm in [-1,1] -> voxel = ((norm + 1) * S - 1) / 2, per axis.
+    norm_coords: [B, 3, ...] ordered (z, y, x) with sizes (D, H, W).
+    """
+    out = []
+    for i, s in enumerate(sizes):
+        out.append(((norm_coords[:, i] + 1.0) * s - 1.0) / 2.0)
+    return jnp.stack(out, axis=1)
+
+
+def stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """VoxelMorph-style warp with reference STN semantics (STN.py:9-32).
+
+    Args:
+      src: [B, D, H, W, C] channels-last.
+      flow: [B, 3, D, H, W] voxel-unit displacement, channel i displaces axis i.
+
+    Equivalent chain: locs = grid + flow; norm = 2*(locs/(S-1) - 0.5);
+    grid_sample(align_corners=False, zeros). Composed here into a single
+    absolute-voxel-coordinate sample: voxel = ((grid+flow)/(S-1))*S - 0.5.
+    """
+    B, D, H, W, C = src.shape
+    sizes = (D, H, W)
+    grids = jnp.meshgrid(
+        jnp.arange(D, dtype=flow.dtype),
+        jnp.arange(H, dtype=flow.dtype),
+        jnp.arange(W, dtype=flow.dtype),
+        indexing="ij",
+    )
+    grid = jnp.stack(grids)[None]  # [1, 3, D, H, W]
+    locs = grid + flow
+    coords = jnp.stack(
+        [locs[:, i] / (sizes[i] - 1) * sizes[i] - 0.5 for i in range(3)], axis=1
+    )
+    return trilinear_sample(src, coords)
+
+
+def reference_points(D: int, H: int, W: int, faithful: bool = True) -> jnp.ndarray:
+    """MicFormer deformable reference grid, [1, 3, D, H, W] (channel order z,y,x).
+
+    faithful=True reproduces `_get_ref_points` exactly INCLUDING the axis
+    normalization mix-up (z/=D, y/=W, x/=H — MICFormer_self.py:333-335);
+    faithful=False normalizes each axis by its own extent (the paper's intent).
+    """
+    z = jnp.linspace(0.5, D - 0.5, D)
+    y = jnp.linspace(0.5, H - 0.5, H)
+    x = jnp.linspace(0.5, W - 0.5, W)
+    gz, gy, gx = jnp.meshgrid(z, y, x, indexing="ij")
+    if faithful:
+        gz = gz / H * 2 - 1  # ref[...,0] /= H_key
+        gy = gy / W * 2 - 1  # ref[...,1] /= W_key
+        gx = gx / D * 2 - 1  # ref[...,2] /= D_key
+    else:
+        gz = gz / D * 2 - 1
+        gy = gy / H * 2 - 1
+        gx = gx / W * 2 - 1
+    return jnp.stack([gz, gy, gx])[None].astype(jnp.float32)
+
+
+def inverse_stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Re_SpatialTransformer parity (STN.py:35-42): warp flow by itself, negate,
+    then warp src by the result — a first-order inverse-deformation estimate."""
+    # stn(flow, flow): flow is [B, 3, D, H, W]; warp it channels-last.
+    flow_cl = jnp.moveaxis(flow, 1, -1)
+    warped_flow = stn_warp(flow_cl, flow)
+    neg_inv = -jnp.moveaxis(warped_flow, -1, 1)
+    return stn_warp(src, neg_inv)

@@ -1,12 +1,20 @@
-"""Test configuration: force the CPU backend with 8 virtual devices BEFORE jax
-imports, so multi-chip sharding tests run without TPU hardware (SURVEY §4)."""
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run without TPU hardware (SURVEY §4).
+
+The image's sitecustomize registers the `axon` TPU PJRT plugin and pins
+JAX_PLATFORMS=axon at interpreter start, so env vars alone don't switch the
+backend — `jax.config.update` before first device use does.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

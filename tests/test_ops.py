@@ -1,0 +1,173 @@
+"""Ops-layer tests: windowing round-trips, attention parity vs numpy softmax,
+warp parity vs torch grid_sample (the reference's STN backend)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from micformer_tpu.ops import windows as W
+from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge_heads
+from micformer_tpu.ops import warp as warp_ops
+from micformer_tpu.ops.pe import sinusoidal_pe_3d
+
+
+def test_window_partition_reverse_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 6, 5)).astype(np.float32))
+    ws = (2, 2, 3)
+    wins = W.window_partition(x, ws)
+    assert wins.shape == (2 * 4 * 2 * 2, 12, 5)
+    back = W.window_reverse(wins, ws, 2, 8, 4, 6)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_window_partition_content(rng):
+    # first window of first batch must equal the top-left corner block
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 3)).astype(np.float32))
+    wins = W.window_partition(x, (2, 2, 2))
+    expect = np.asarray(x)[0, :2, :2, :2].reshape(8, 3)
+    np.testing.assert_array_equal(np.asarray(wins[0]), expect)
+
+
+def test_shifted_window_mask_matches_swin_reference():
+    """Independent check against the canonical Swin compute_mask algorithm."""
+    import torch
+
+    dims, ws, ss = (4, 4, 4), (2, 2, 2), (1, 1, 1)
+    mask = W.shifted_window_mask(dims, ws, ss)
+    D, H, W_ = dims
+    img_mask = torch.zeros((1, D, H, W_, 1))
+    cnt = 0
+    for d in (slice(-ws[0]), slice(-ws[0], -ss[0]), slice(-ss[0], None)):
+        for h in (slice(-ws[1]), slice(-ws[1], -ss[1]), slice(-ss[1], None)):
+            for w in (slice(-ws[2]), slice(-ws[2], -ss[2]), slice(-ss[2], None)):
+                img_mask[:, d, h, w, :] = cnt
+                cnt += 1
+    m = img_mask.view(1, D // 2, 2, H // 2, 2, W_ // 2, 2, 1)
+    m = m.permute(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, 8)
+    attn_mask = m.unsqueeze(1) - m.unsqueeze(2)
+    attn_mask = attn_mask.masked_fill(attn_mask != 0, -100.0).masked_fill(attn_mask == 0, 0.0)
+    np.testing.assert_array_equal(mask, attn_mask.numpy())
+
+
+def test_shifted_window_mask_none_when_unshifted():
+    assert W.shifted_window_mask((4, 4, 4), (2, 2, 2), (0, 0, 0)) is None
+
+
+def test_relative_position_index_properties():
+    idx = W.relative_position_index((2, 3, 2))
+    T = 12
+    assert idx.shape == (T, T)
+    assert idx.min() >= 0 and idx.max() < 3 * 5 * 3
+    # diagonal = zero displacement = center of table
+    assert len(set(idx[np.arange(T), np.arange(T)].tolist())) == 1
+    # antisymmetric pairs map to mirrored entries
+    assert idx[0, 1] != idx[1, 0]
+
+
+def test_attention_matches_numpy(rng):
+    N, h, T, d = 3, 2, 8, 4
+    q = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    k = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    v = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    out = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    logits = np.einsum("nhqd,nhkd->nhqk", q * d ** -0.5, k)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    expect = np.einsum("nhqk,nhkd->nhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_attention_mask_blocks_cross_region(rng):
+    N, h, T, d = 4, 1, 4, 4
+    q = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    k = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    v = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    # mask out tokens 2,3 from 0,1 in both windows (nW=2, batch=2)
+    mask = np.zeros((2, T, T), np.float32)
+    mask[:, :2, 2:] = -1e9
+    mask[:, 2:, :2] = -1e9
+    out = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask=jnp.asarray(mask))
+    # block-diagonal attention == attention restricted to each half
+    out_a = multi_head_attention(jnp.asarray(q[:, :, :2]), jnp.asarray(k[:, :, :2]), jnp.asarray(v[:, :, :2]))
+    np.testing.assert_allclose(np.asarray(out[:, :, :2]), np.asarray(out_a), atol=1e-5)
+
+
+def test_split_merge_heads_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(5, 8, 12)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(merge_heads(split_heads(x, 3))), np.asarray(x))
+
+
+def test_trilinear_sample_identity(rng):
+    src = jnp.asarray(rng.normal(size=(1, 5, 6, 7, 3)).astype(np.float32))
+    D, H, Wd = 5, 6, 7
+    gz, gy, gx = np.meshgrid(np.arange(D), np.arange(H), np.arange(Wd), indexing="ij")
+    coords = jnp.asarray(np.stack([gz, gy, gx])[None].astype(np.float32))
+    out = warp_ops.trilinear_sample(src, coords)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(src), atol=1e-6)
+
+
+def test_stn_warp_matches_torch_reference(rng):
+    """Parity with the reference STN chain: grid+flow -> normalize -> grid_sample
+    (align_corners=False, zeros) — STN.py:9-32 semantics."""
+    import torch
+    import torch.nn.functional as F
+
+    B, C, D, H, Wd = 2, 3, 6, 5, 7
+    src = rng.normal(size=(B, C, D, H, Wd)).astype(np.float32)
+    flow = (rng.normal(size=(B, 3, D, H, Wd)) * 1.5).astype(np.float32)
+
+    # torch reference (reimplementation of STN.py forward)
+    vectors = [torch.arange(0, s) for s in (D, H, Wd)]
+    grids = torch.meshgrid(vectors, indexing="ij")
+    grid = torch.stack(grids).unsqueeze(0).float()
+    new_locs = grid + torch.from_numpy(flow)
+    shape = (D, H, Wd)
+    for i in range(3):
+        new_locs[:, i] = 2 * (new_locs[:, i] / (shape[i] - 1) - 0.5)
+    new_locs = new_locs.permute(0, 2, 3, 4, 1)[..., [2, 1, 0]]
+    expect = F.grid_sample(torch.from_numpy(src), new_locs, mode="bilinear", align_corners=False)
+
+    got = warp_ops.stn_warp(
+        jnp.asarray(np.moveaxis(src, 1, -1)), jnp.asarray(flow)
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), expect.numpy(), atol=2e-5
+    )
+
+
+def test_reference_points_faithful_quirk():
+    ref = np.asarray(warp_ops.reference_points(4, 6, 8, faithful=True))[0]
+    # z channel normalized by H (=6), not D: values span (2*0.5/6-1, 2*3.5/6-1)
+    np.testing.assert_allclose(ref[0, 0, 0, 0], 2 * 0.5 / 6 - 1, atol=1e-6)
+    np.testing.assert_allclose(ref[0, -1, 0, 0], 2 * 3.5 / 6 - 1, atol=1e-6)
+    ref_c = np.asarray(warp_ops.reference_points(4, 6, 8, faithful=False))[0]
+    np.testing.assert_allclose(ref_c[0, -1, 0, 0], 2 * 3.5 / 4 - 1, atol=1e-6)
+
+
+def test_sinusoidal_pe_3d_matches_torch_reference():
+    """Parity with VT-Unet PositionalEncoding3D (vt_unet.py:234-270)."""
+    import torch
+
+    D, H, Wd, C = 3, 4, 5, 20
+    channels = int(np.ceil(C / 6) * 2)
+    if channels % 2:
+        channels += 1
+    inv_freq = 1.0 / (10000 ** (torch.arange(0, channels, 2).float() / channels))
+    pos = [torch.arange(n).float() for n in (D, H, Wd)]
+    sin_inp = [torch.einsum("i,j->ij", p, inv_freq) for p in pos]
+    emb_x = torch.cat((sin_inp[0].sin(), sin_inp[0].cos()), -1).unsqueeze(1).unsqueeze(1)
+    emb_y = torch.cat((sin_inp[1].sin(), sin_inp[1].cos()), -1).unsqueeze(1)
+    emb_z = torch.cat((sin_inp[2].sin(), sin_inp[2].cos()), -1)
+    emb = torch.zeros((D, H, Wd, channels * 3))
+    emb[..., :channels] = emb_x
+    emb[..., channels : 2 * channels] = emb_y
+    emb[..., 2 * channels :] = emb_z
+    expect = emb[..., :C].numpy()
+    np.testing.assert_allclose(sinusoidal_pe_3d(D, H, Wd, C), expect, atol=1e-5)
+
+
+def test_adjust_window_shift_clamps():
+    ws, ss = W.adjust_window_shift((2, 8, 8), (4, 4, 4), (2, 2, 2))
+    assert ws == (2, 4, 4) and ss == (0, 2, 2)
+    assert W.adjust_window_shift((2, 8, 8), (4, 4, 4)) == (2, 4, 4)
