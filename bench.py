@@ -1,0 +1,76 @@
+"""Benchmark: sliding-window inference throughput on the flagship model.
+
+Protocol mirrors the reference's inference configuration (utils.py:226-240):
+roi 128³, overlap 0.5, gaussian blending, on a 160³ two-channel volume (so the
+window grid is genuinely overlapped, 2×2×2 tiles = 8 windows/volume).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline is null: the reference publishes no numbers (BASELINE.md) and the
+PyTorch/A100 baseline cannot be measured in this container (no GPU).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from micformer_tpu import registry
+    from micformer_tpu.infer import sliding_window_inference
+    import functools
+
+    avail = registry.available()
+    name = "micformer" if "micformer" in avail else "unet3d"
+    model = registry.build(name, num_classes=8)
+
+    roi = (128, 128, 128)
+    vol_shape = (1, 2, 160, 160, 160)
+    x0 = jnp.zeros((1, 2) + roi, jnp.float32)
+    variables = model.init(jax.random.key(0), x0)
+
+    def predictor(win):
+        return model.apply(variables, win)
+
+    infer = jax.jit(functools.partial(
+        sliding_window_inference,
+        roi_size=roi, predictor=predictor, num_classes=8,
+        overlap=0.5, blend="gaussian", step_mode="monai", sw_batch_size=2,
+    ))
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=vol_shape).astype(np.float32))
+
+    # warmup / compile
+    out = infer(vol)
+    out.block_until_ready()
+
+    iters = 10
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = infer(vol)
+        out.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    vps = 1.0 / lat.mean()
+
+    print(json.dumps({
+        "metric": "sliding_window_volumes_per_sec",
+        "value": round(float(vps), 4),
+        "unit": "volumes/s/chip",
+        "vs_baseline": None,
+        "model": name,
+        "volume": list(vol_shape),
+        "roi": list(roi),
+        "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Training CLI — `python -m micformer_tpu.cli.train --data <root> --model unet3d`.
+
+One CLI for all 10 model families (reference: 10 copied train_mmwhs_noPad.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def main(argv=None):
+    from micformer_tpu.config import build_argparser, config_from_args, save_config
+    from micformer_tpu import registry
+    from micformer_tpu.data import get_datasets
+    from micformer_tpu.data.loader import DataLoader
+    from micformer_tpu.train import Trainer, TrainConfig
+
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    if not cfg.data.data_root:
+        raise SystemExit("--data (or MICFORMER_DATA) is required")
+
+    os.makedirs(cfg.train.run_dir, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.train.run_dir, "config.yaml"))
+
+    train_ds, val_ds, bench_ds = get_datasets(
+        cfg.data.data_root,
+        seed=cfg.train.seed,
+        fold=cfg.data.fold,
+        cache_dir=cfg.data.cache_dir or None,
+        target_shape=tuple(cfg.data.target_shape),
+        normalisation=cfg.data.normalisation,
+        single_modal=cfg.data.single_modal,
+    )
+    train_loader = DataLoader(train_ds, batch_size=cfg.train.batch_size,
+                              shuffle=True, seed=cfg.train.seed)
+    val_loader = DataLoader(val_ds, batch_size=1)
+
+    import jax.numpy as jnp
+
+    model_kwargs = dict(num_classes=cfg.model.num_classes, **cfg.model.extra)
+    if cfg.train.bf16:
+        model_kwargs["dtype"] = jnp.bfloat16
+    model = registry.build(cfg.model.name, **model_kwargs)
+
+    tcfg = TrainConfig(
+        epochs=cfg.train.epochs,
+        lr=cfg.train.lr,
+        weight_decay=cfg.train.weight_decay,
+        num_classes=cfg.model.num_classes,
+        val_every=cfg.train.val_every,
+        seed=cfg.train.seed,
+        scheduler=cfg.train.scheduler,
+        scheduler_per_batch=cfg.train.scheduler_per_batch,
+        steps_per_epoch=len(train_loader),
+        optimizer=cfg.train.optimizer,
+        deep_supervision=cfg.train.deep_supervision,
+        grad_clip_norm=cfg.train.grad_clip_norm,
+        run_dir=cfg.train.run_dir,
+    )
+    trainer = Trainer(model, tcfg)
+
+    if args.throughput:
+        _throughput(trainer, train_loader)
+        return
+
+    t0 = time.perf_counter()
+    trainer.fit(train_loader, val_loader, resume=cfg.train.resume)
+    print(f"training done in {time.perf_counter() - t0:.1f}s "
+          f"({cfg.train.epochs} epochs)")
+
+
+def _throughput(trainer, loader, warmup=2, epochs=3):
+    """Benchmark mode: steps/sec + volumes/sec (the --throughput flag the
+    reference parses but never implements, train_mmwhs_noPad.py:66)."""
+    import jax
+
+    state = trainer.init_state(loader.peek_shape())
+    rng = jax.random.key(0)
+    n = 0
+    t0 = None
+    for e in range(warmup + epochs):
+        if e == warmup:
+            t0 = time.perf_counter()
+            n = 0
+        for images, labels, _ in loader:
+            rng, k = jax.random.split(rng)
+            state, _ = trainer.train_step(state, images, labels, k)
+            n += images.shape[0]
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    print(f"throughput: {n / dt:.3f} volumes/s  ({dt / max(n, 1) * 1000:.1f} ms/volume)")
+
+
+if __name__ == "__main__":
+    main()

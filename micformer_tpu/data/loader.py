@@ -63,6 +63,11 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def peek_shape(self):
+        """[B, C, D, H, W] of a full batch (for model init without iterating)."""
+        s = self.dataset[0]
+        return (self.batch_size,) + tuple(np.asarray(s["image"]).shape)
+
     def _index_batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:

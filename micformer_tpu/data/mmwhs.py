@@ -128,6 +128,7 @@ class MMWHSDataset:
         patch_size=None,
         transform=None,
         seed=1234,
+        single_modal=False,
     ):
         self.cases = list(cases)
         self.training = training
@@ -136,6 +137,7 @@ class MMWHSDataset:
         self.cache_dir = Path(cache_dir) if cache_dir else None
         self.patch_size = tuple(patch_size) if patch_size else self.target_shape
         self.transform = transform
+        self.single_modal = single_modal  # CT-only ablation (SingleModal_nnformer/dataset/MMWHS.py:392,400)
         self._rng = np.random.default_rng(seed)
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
@@ -160,6 +162,8 @@ class MMWHSDataset:
         case = self.cases[idx]
         image, label = self._load(case)
         image = np.asarray(image, dtype=np.float32)
+        if self.single_modal:
+            image = image[:1]
         label_ct = np.asarray(label[:8], dtype=np.uint8)
 
         nz = np.sum(image, axis=0)
@@ -193,12 +197,16 @@ def get_datasets(
     target_shape=(128, 128, 128),
     train_transform=None,
     val_transform=None,
+    single_modal=False,
+    fold=None,
 ):
     """(train, val, bench) datasets — get_datasets_Aug parity (MMWHS.py:479-501),
     minus the hard-coded absolute data root (reference defect, SURVEY §2.13)."""
     cases = discover_cases(data_root)
     if not cases:
         raise FileNotFoundError(f"no ct_*_image.nii.gz under {data_root}")
+    if fold is not None:
+        fold_number = fold
     tr, va, te = kfold_split(len(cases), 5, seed, fold_number)
     mk = lambda idx, training, tf: MMWHSDataset(
         [cases[i] for i in idx],
@@ -208,6 +216,7 @@ def get_datasets(
         cache_dir=cache_dir,
         transform=tf,
         seed=seed,
+        single_modal=single_modal,
     )
     return (
         mk(tr, True, train_transform),

@@ -1,0 +1,7 @@
+"""Model zoo — every family from the reference's 10 subprojects, one registry.
+
+Importing this package registers all factories (micformer_tpu.registry).
+"""
+
+from micformer_tpu.models import unet3d  # noqa: F401
+from micformer_tpu.models import mednext  # noqa: F401

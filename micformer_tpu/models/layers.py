@@ -1,0 +1,369 @@
+"""Shared flax.linen building blocks for the 3D segmentation model zoo.
+
+Internal tensor convention: channels-last [B, D, H, W, C] — the layout XLA
+tiles best on TPU (last dim lands on the 128-lane axis). Public model wrappers
+accept/return the reference's NCDHW convention (SURVEY.md §1 L2 interface).
+
+Behavioral parity notes cite the reference implementations these blocks
+functionally replace (studied, not translated):
+  - Mlp / window blocks:            MicFormer/models/MICFormer_self.py:16-34,430-524
+  - fused-qkv rel-pos window attn:  VT-Unet/vtunet/vt_unet.py:126-231
+  - cross-stream q/kv attention:    MICFormer_self.py:148-203
+  - PatchEmbed3D (conv k=s=patch):  MICFormer_self.py:837-878
+  - conv PatchMerging / Expand:     MICFormer_self.py:527-579
+  - linear PatchMerging (8C->2C):   vt_unet.py:412-448
+  - linear PatchExpand (shuffle):   vt_unet.py:451-536
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from micformer_tpu.ops.windows import (
+    window_partition,
+    window_reverse,
+    shifted_window_mask,
+    relative_position_index,
+    adjust_window_shift,
+    cyclic_shift,
+)
+from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge_heads
+
+
+def pad_to_multiple(x: jnp.ndarray, multiple) -> jnp.ndarray:
+    """Zero-pad spatial dims of [B, D, H, W, C] up to multiples (static)."""
+    B, D, H, W, C = x.shape
+    pd = (-D) % multiple[0]
+    ph = (-H) % multiple[1]
+    pw = (-W) % multiple[2]
+    if pd or ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)))
+    return x
+
+
+class Mlp(nn.Module):
+    """GELU MLP, hidden = dim * ratio (MICFormer_self.py:16-34)."""
+
+    hidden: int
+    out: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth on the residual branch (timm DropPath semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class WindowAttention3D(nn.Module):
+    """Windowed MHA over [N, T, C] token windows.
+
+    Variants (one module, config-selected):
+      - cross=False: fused qkv self-attention (vt_unet.py:126-231 /
+        MICFormer_self.py:206-261 behavior).
+      - cross=True: Q from `x`, K/V from `context` via separate projections
+        (MICFormer_self.py:148-203; also serves nnFormer skip-KV decoders).
+      - rel_pos_bias=True: learned 3D relative-position bias table
+        (vt_unet.py:149-168). MicFormer's own blocks use no bias.
+    """
+
+    dim: int
+    window_size: tuple
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    rel_pos_bias: bool = False
+    cross: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None):
+        N, T, C = x.shape
+        h = self.num_heads
+        if self.cross or context is not None:
+            ctx = x if context is None else context
+            q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+            kv = nn.Dense(2 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(ctx)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = split_heads(q, h), split_heads(k, h), split_heads(v, h)
+
+        bias = None
+        if self.rel_pos_bias:
+            wd, wh, ww = self.window_size
+            table = self.param(
+                "rel_pos_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h),
+            )
+            idx = relative_position_index(self.window_size)[:T, :T]
+            bias = table[idx.reshape(-1)].reshape(T, T, h).transpose(2, 0, 1)
+
+        mask_arr = None if mask is None else jnp.asarray(mask)
+        out = multi_head_attention(q, k, v, bias=bias, mask=mask_arr, scale=self.qk_scale)
+        out = merge_heads(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock3D(nn.Module):
+    """Generic (shifted-)window transformer block on [B, D, H, W, C].
+
+    Covers: MicFormer TransformerBlock3D (no shift, no bias), VT-Unet /
+    SwinUnet3D / nnFormer encoder blocks (shift + rel-pos bias). Pre-norm,
+    residual + DropPath, MLP ratio 4.
+    """
+
+    dim: int
+    num_heads: int
+    window_size: tuple = (4, 4, 4)
+    shift_size: tuple = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    rel_pos_bias: bool = False
+    drop_path: float = 0.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, D, H, W, C = x.shape
+        ws, ss = adjust_window_shift((D, H, W), self.window_size, self.shift_size)
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = pad_to_multiple(x, ws)
+        _, Dp, Hp, Wp, _ = x.shape
+
+        x = cyclic_shift(x, ss)
+        mask = shifted_window_mask((Dp, Hp, Wp), ws, ss)
+        wins = window_partition(x, ws)
+        attn = WindowAttention3D(
+            self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
+            rel_pos_bias=self.rel_pos_bias, dtype=self.dtype, name="attn",
+        )(wins, mask=mask)
+        x = window_reverse(attn, ws, B, Dp, Hp, Wp)
+        x = cyclic_shift(x, ss, reverse=True)
+        x = x[:, :D, :H, :W]
+
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = Mlp(int(C * self.mlp_ratio), C, self.dropout, dtype=self.dtype)(y, deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
+
+class PatchEmbed3D(nn.Module):
+    """Conv patch embedding, kernel = stride = patch (MICFormer_self.py:837-878)."""
+
+    embed_dim: int
+    patch_size: tuple = (4, 4, 4)
+    use_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.embed_dim, self.patch_size, strides=self.patch_size,
+                    padding="VALID", dtype=self.dtype)(x)
+        if self.use_norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        return x
+
+
+class PatchMergingConv(nn.Module):
+    """Conv downsample C->2C, k2 s2 + LN (MICFormer_self.py:527-561)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(2 * self.dim, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                    dtype=self.dtype)(x)
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+class PatchExpandConv(nn.Module):
+    """ConvTranspose upsample C->C/2, k2 s2 + LN (MICFormer_self.py:564-579)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.dim // 2, (2, 2, 2), strides=(2, 2, 2),
+                             padding="VALID", dtype=self.dtype)(x)
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+class PatchMergingLinear(nn.Module):
+    """Swin-style merge: 2x2x2 neighborhood concat -> LN -> Linear(8C->2C)
+    (vt_unet.py:412-448)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        x = pad_to_multiple(x, (2, 2, 2))
+        _, Dp, Hp, Wp, _ = x.shape
+        x = x.reshape(B, Dp // 2, 2, Hp // 2, 2, Wp // 2, 2, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, Dp // 2, Hp // 2, Wp // 2, 8 * C)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype)(x)
+
+
+class PatchExpandLinear(nn.Module):
+    """Swin-style expand: Linear(C->2C) -> pixel-shuffle 2x -> LN on C/2
+    (vt_unet.py:451-536 PatchExpand semantics, dim_scale=2)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype)(x)
+        x = x.reshape(B, D, H, W, 2, 2, 2, C // 4)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, 2 * D, 2 * H, 2 * W, C // 4)
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+class FinalPatchExpand(nn.Module):
+    """Final x4 expand (vt_unet.py FinalPatchExpand_X4): Linear(C->64C/8?) —
+    implemented as Linear(C -> scale^3 * C) -> shuffle -> LN keeping C."""
+
+    dim: int
+    scale: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        s = self.scale
+        x = nn.Dense(s ** 3 * C, use_bias=False, dtype=self.dtype)(x)
+        x = x.reshape(B, D, H, W, s, s, s, C)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, s * D, s * H, s * W, C)
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+# ---------------------------------------------------------------------------
+# Conv-family primitives (U-Net / MedNeXt / TransBTS / TransUNet)
+# ---------------------------------------------------------------------------
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm3d equivalent: per-(batch, channel) normalization over
+    spatial dims. torch InstanceNorm3d default: affine=False, eps=1e-5."""
+
+    epsilon: float = 1e-5
+    affine: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axes, keepdims=True)
+        var = jnp.var(x, axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            C = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (C,))
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single shared slope (torch PReLU default)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(self.init), (1,))
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+class ConvNormAct(nn.Module):
+    """Conv3d + norm + activation, the generic conv-decoder unit."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    norm: str = "instance"  # instance | group | layer | batch-free none
+    act: str = "prelu"      # prelu | relu | gelu | leaky | none
+    transpose: bool = False
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel,) * 3
+        s = (self.stride,) * 3
+        if self.transpose:
+            x = nn.ConvTranspose(self.features, k, strides=s, padding="SAME",
+                                 dtype=self.dtype)(x)
+        else:
+            x = nn.Conv(self.features, k, strides=s, padding="SAME",
+                        feature_group_count=self.groups, dtype=self.dtype)(x)
+        if self.norm == "instance":
+            x = InstanceNorm(dtype=self.dtype)(x)
+        elif self.norm == "group":
+            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        if self.act == "prelu":
+            x = PReLU()(x)
+        elif self.act == "relu":
+            x = nn.relu(x)
+        elif self.act == "gelu":
+            x = nn.gelu(x)
+        elif self.act == "leaky":
+            x = nn.leaky_relu(x, 0.01)
+        return x
+
+
+def zero_dilate(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Insert factor-1 zeros between spatial elements of [B, D, H, W, C].
+
+    Output spatial size = factor*S - (factor-1). Composing with a (grouped)
+    conv reproduces a stride-`factor` transpose conv — used where flax's
+    ConvTranspose lacks feature_group_count (depthwise transpose convs)."""
+    cfg = [(0, 0, 0)] + [(0, 0, factor - 1)] * 3 + [(0, 0, 0)]
+    return jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
+
+
+def to_channels_last(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, D, H, W] -> [B, D, H, W, C] (reference API boundary)."""
+    return jnp.moveaxis(x, 1, -1)
+
+
+def to_channels_first(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, D, H, W, C] -> [B, C, D, H, W]."""
+    return jnp.moveaxis(x, -1, 1)

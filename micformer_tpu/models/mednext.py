@@ -1,0 +1,149 @@
+"""MedNeXt — ConvNeXt-style 3D segmentation network.
+
+Behavioral parity with the reference
+MedNeXt/nnunet_mednext/network_architecture/mednextv1/ (blocks.py:6-160,
+MedNextV1.py:7-389, create_mednext_v1.py:3-82):
+  - MedNeXtBlock: depthwise k³ conv -> GroupNorm(groups=C) -> 1³ expand (×R)
+    -> GELU -> 1³ compress, optional residual.
+  - Down/Up blocks: stride-2 depthwise (transpose) conv inside the block, with
+    a parallel 1³ stride-2 residual path (do_res_up_down).
+  - U-shape: stem 1³ conv, 4 encoder stages (C·2^i), bottleneck, 4 decoder
+    stages with additive skips, deep-supervision 1³ heads per decoder level.
+  - Sizes S/B/M/L via exp_r / block_counts tables; MM-WHS uses 'S' kernel 3
+    (MedNeXt/train_mmwhs_noPad.py:92-95).
+
+TPU notes: depthwise convs use feature_group_count; channels-last NDHWC.
+GroupNorm with one group per channel == InstanceNorm with affine (torch
+GroupNorm has affine=True by default).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from micformer_tpu.models.layers import InstanceNorm, to_channels_last, to_channels_first, zero_dilate
+from micformer_tpu import registry
+
+
+class MedNeXtBlock(nn.Module):
+    out_channels: int
+    exp_r: int = 4
+    kernel: int = 3
+    do_res: bool = True
+    mode: str = "same"  # same | down | up
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        k = (self.kernel,) * 3
+        if self.mode == "down":
+            h = nn.Conv(C, k, strides=(2, 2, 2), padding=self.kernel // 2,
+                        feature_group_count=C, dtype=self.dtype, name="dw")(x)
+        elif self.mode == "up":
+            # torch: depthwise ConvTranspose3d(k, s2, pad=k//2) then
+            # F.pad (1,0,1,0,1,0) -> exactly 2x extent. Equivalent form (for a
+            # learned kernel): zero-dilate then depthwise conv with asymmetric
+            # padding (k//2+1 leading, k//2 trailing).
+            p = self.kernel // 2
+            h = zero_dilate(x)
+            h = nn.Conv(C, k, padding=[(p + 1, p)] * 3, feature_group_count=C,
+                        dtype=self.dtype, name="dw")(h)
+        else:
+            h = nn.Conv(C, k, padding=self.kernel // 2,
+                        feature_group_count=C, dtype=self.dtype, name="dw")(x)
+        h = InstanceNorm(affine=True, dtype=self.dtype, name="norm")(h)
+        h = nn.Conv(self.exp_r * C, (1, 1, 1), dtype=self.dtype, name="expand")(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="compress")(h)
+        if self.do_res:
+            if self.mode == "down":
+                res = nn.Conv(self.out_channels, (1, 1, 1), strides=(2, 2, 2),
+                              dtype=self.dtype, name="res")(x)
+            elif self.mode == "up":
+                # 1³ stride-2 transpose conv + leading pad == dilate + pad + 1³ conv
+                res = zero_dilate(x)
+                res = jnp.pad(res, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
+                res = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                              name="res")(res)
+            else:
+                res = x
+            h = h + res
+        return h
+
+
+_SIZES = {
+    "S": dict(exp_r=[2] * 9, block_counts=[2] * 9),
+    "B": dict(exp_r=[2, 3, 4, 4, 4, 4, 4, 3, 2], block_counts=[2] * 9),
+    "M": dict(exp_r=[2, 3, 4, 4, 4, 4, 4, 3, 2], block_counts=[3, 4, 4, 4, 4, 4, 4, 4, 3]),
+    "L": dict(exp_r=[3, 4, 8, 8, 8, 8, 8, 4, 3], block_counts=[3, 4, 8, 8, 8, 8, 8, 4, 3]),
+}
+
+
+class MedNeXt(nn.Module):
+    num_classes: int = 8
+    n_channels: int = 32
+    exp_r: Sequence[int] = tuple([2] * 9)
+    kernel: int = 3
+    block_counts: Sequence[int] = tuple([2] * 9)
+    deep_supervision: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = to_channels_last(x)
+        n = self.n_channels
+        er, bc = list(self.exp_r), list(self.block_counts)
+        x = nn.Conv(n, (1, 1, 1), dtype=self.dtype, name="stem")(x)
+
+        skips = []
+        # encoder stages 0..3 + downs, bottleneck stage 4
+        for s in range(4):
+            c = n * (2 ** s)
+            for b in range(bc[s]):
+                x = MedNeXtBlock(c, er[s], self.kernel, True, dtype=self.dtype,
+                                 name=f"enc{s}_{b}")(x)
+            skips.append(x)
+            x = MedNeXtBlock(2 * c, er[s + 1], self.kernel, True, mode="down",
+                             dtype=self.dtype, name=f"down{s}")(x)
+        c = n * 16
+        for b in range(bc[4]):
+            x = MedNeXtBlock(c, er[4], self.kernel, True, dtype=self.dtype,
+                             name=f"bottleneck_{b}")(x)
+
+        # ds head ordering follows the reference (MedNextV1.py:306-335):
+        # x_ds_4 at the bottleneck, x_ds_i after each decoder stage's blocks,
+        # returned as [full-res, 1/2, 1/4, 1/8, 1/16].
+        ds_out = []
+        if self.deep_supervision:
+            ds_out.append(nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                                  name="ds4")(x))
+        for s in range(4):  # decoder stages, deep to shallow
+            c_out = n * (2 ** (3 - s))
+            x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True, mode="up",
+                             dtype=self.dtype, name=f"up{s}")(x)
+            x = x + skips[3 - s]
+            for b in range(bc[5 + s]):
+                x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True,
+                                 dtype=self.dtype, name=f"dec{s}_{b}")(x)
+            if self.deep_supervision and s < 3:
+                ds_out.append(nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                                      name=f"ds{3 - s}")(x))
+        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(x)
+        logits = to_channels_first(logits.astype(jnp.float32))
+        if self.deep_supervision:
+            pyramid = [logits] + [to_channels_first(d.astype(jnp.float32))
+                                  for d in reversed(ds_out)]
+            return pyramid
+        return logits
+
+
+@registry.register("mednext", num_classes=8, size="S", kernel=3, deep_supervision=False)
+def build_mednext(num_classes=8, size="S", kernel=3, deep_supervision=False, dtype=jnp.float32):
+    cfg = _SIZES[size]
+    return MedNeXt(num_classes=num_classes, kernel=kernel,
+                   exp_r=tuple(cfg["exp_r"]), block_counts=tuple(cfg["block_counts"]),
+                   deep_supervision=deep_supervision, dtype=dtype)

@@ -1,0 +1,264 @@
+"""The training/eval harness — one trainer for the whole model zoo.
+
+Replaces the reference's 10 copied ~420-line train_mmwhs_noPad.py harnesses
+(SURVEY.md §1 L4) with a single jit-compiled, mesh-aware loop:
+  - Adam lr 1e-4 wd 0 + CosineAnnealingLR(T_max=epochs) stepped per batch —
+    faithful to the reference quirk (train_mmwhs_noPad.py:114,148,206-207),
+    switchable to the intended per-epoch stepping.
+  - MDiceLoss train / MDiceLoss_Val + meandice validation (loss/dice.py).
+  - dual best-Dice / best-loss checkpointing + resume (utils.py:57-65).
+  - NaN guard made actionable (skip-step + halt counter) vs the reference's
+    print-only check (train_mmwhs_noPad.py:194-197).
+  - data-parallel by construction: batch sharded over the mesh 'data' axis,
+    params replicated — XLA inserts the gradient psum (DDP equivalent).
+
+TPU design: the step is a single donated jit; the host loop only feeds
+device-resident batches and reads scalar metrics (one D2H per step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from micformer_tpu.losses.dice import (
+    mdice_loss,
+    mdice_val_loss,
+    hard_dice_metric,
+    deep_supervision_loss,
+    softmax_dice_ce_loss,
+)
+from micformer_tpu.losses.metrics import meandice
+from micformer_tpu.train.schedules import cosine_annealing, poly_lr
+from micformer_tpu.train.checkpoint import CheckpointManager
+from micformer_tpu.train.meters import AverageMeter, ProgressMeter, Timer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 300
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    num_classes: int = 8
+    val_every: int = 10
+    seed: int = 1234
+    scheduler: str = "cosine"           # cosine | poly | constant
+    scheduler_per_batch: bool = True    # reference quirk parity
+    steps_per_epoch: int = 16
+    optimizer: str = "adam"             # adam | adamw | sgd_nesterov (nnU-Net preset)
+    loss: str = "mdice"                 # mdice | dice_ce (nnU-Net preset)
+    deep_supervision: bool = False
+    grad_clip_norm: float | None = None  # nnU-Net DDP uses clip(12)
+    nan_guard: bool = True
+    max_consecutive_nan: int = 50
+    run_dir: str = "runs/default"
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def _make_tx(cfg: TrainConfig):
+    if cfg.scheduler == "cosine":
+        sched = cosine_annealing(cfg.lr, cfg.epochs, steps_per_epoch=cfg.steps_per_epoch,
+                                 per_batch=cfg.scheduler_per_batch)
+    elif cfg.scheduler == "poly":
+        sched = poly_lr(cfg.lr, cfg.epochs * cfg.steps_per_epoch)
+    else:
+        sched = cfg.lr
+    if cfg.optimizer == "adam":
+        tx = optax.adam(sched) if cfg.weight_decay == 0 else optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd_nesterov":
+        tx = optax.sgd(sched, momentum=0.99, nesterov=True)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx, (sched if callable(sched) else (lambda s: cfg.lr))
+
+
+class Trainer:
+    def __init__(self, model, cfg: TrainConfig, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tx, self.schedule = _make_tx(cfg)
+        self.ckpt = CheckpointManager(cfg.run_dir)
+        self._log_path = os.path.join(cfg.run_dir, "log.jsonl")
+        os.makedirs(cfg.run_dir, exist_ok=True)
+        self._build_steps()
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, sample_batch_shape, rng=None) -> TrainState:
+        rng = jax.random.key(self.cfg.seed) if rng is None else rng
+        dummy = jnp.zeros(sample_batch_shape, jnp.float32)
+        variables = self.model.init(rng, dummy)
+        params = variables["params"]
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=self.tx.init(params), tx=self.tx)
+        if self.mesh is not None:
+            from micformer_tpu.parallel import replicate
+
+            state = state.replace(
+                params=replicate(state.params, self.mesh),
+                opt_state=replicate(state.opt_state, self.mesh),
+            )
+        return state
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _loss(self, logits, labels):
+        if self.cfg.deep_supervision and isinstance(logits, (list, tuple)):
+            return deep_supervision_loss(list(logits), labels)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[0]
+        if self.cfg.loss == "dice_ce":
+            return softmax_dice_ce_loss(logits, labels)
+        return mdice_loss(logits, labels)
+
+    def _build_steps(self):
+        model, cfg = self.model, self.cfg
+
+        def train_step(state: TrainState, images, labels, rng):
+            def loss_fn(params):
+                logits = model.apply({"params": params}, images,
+                                     deterministic=False, rngs={"dropout": rng})
+                return self._loss(logits, labels)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            if cfg.nan_guard:
+                ok = jnp.isfinite(loss)
+                grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+                new_state = state.apply_gradients(grads)
+                new_state = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old), new_state, state
+                )
+                return new_state, {"loss": loss, "skipped": ~ok}
+            return state.apply_gradients(grads), {"loss": loss, "skipped": jnp.zeros((), bool)}
+
+        def eval_step(state: TrainState, images, labels):
+            logits = model.apply({"params": state.params}, images)
+            if isinstance(logits, (list, tuple)):
+                logits = logits[0]
+            vloss = mdice_val_loss(logits, labels)
+            pred = jnp.argmax(jax.nn.softmax(logits, axis=1), axis=1)
+            gt = jnp.argmax(labels, axis=1)
+            dice = meandice(pred, gt, cfg.num_classes)
+            per_class = hard_dice_metric(logits, labels)
+            return {"val_loss": vloss, "meandice": dice, "per_class_dice": per_class}
+
+        donate = {"donate_argnums": (0,)}
+        if self.mesh is not None:
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            self.train_step = jax.jit(
+                train_step,
+                in_shardings=(None, batch_sh, batch_sh, rep),
+                **donate,
+            )
+            self.eval_step = jax.jit(eval_step, in_shardings=(None, batch_sh, batch_sh))
+        else:
+            self.train_step = jax.jit(train_step, **donate)
+            self.eval_step = jax.jit(eval_step)
+
+    # -- loops --------------------------------------------------------------
+
+    def _log(self, record: dict):
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def fit(self, train_loader, val_loader=None, resume: bool = False,
+            log_every: int = 10):
+        cfg = self.cfg
+        sample = train_loader.peek_shape()
+        state = self.init_state(sample)
+        start_epoch = 0
+        if resume and self.ckpt.exists("best_dice"):
+            restored = self.ckpt.restore(
+                "best_dice",
+                {"params": state.params, "epoch": 0},
+            )
+            state = state.replace(params=restored["params"])
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"resumed from epoch {start_epoch}")
+
+        rng = jax.random.key(cfg.seed + 1)
+        best_dice, best_loss = -1.0, float("inf")
+        nan_streak = 0
+        for epoch in range(start_epoch, cfg.epochs):
+            tmeter = AverageMeter("Time", ":4.3f")
+            dmeter = AverageMeter("Data", ":4.3f")
+            lmeter = AverageMeter("Loss", ":.4e")
+            progress = ProgressMeter(len(train_loader), [tmeter, dmeter, lmeter],
+                                     prefix=f"Epoch: [{epoch}]")
+            timer = Timer()
+            for i, (images, labels, _) in enumerate(train_loader):
+                dmeter.update(timer.lap())
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self.train_step(state, images, labels, step_rng)
+                loss = float(metrics["loss"])
+                lmeter.update(loss)
+                if metrics["skipped"]:
+                    nan_streak += 1
+                    if nan_streak >= cfg.max_consecutive_nan:
+                        raise FloatingPointError(
+                            f"{nan_streak} consecutive non-finite losses — halting")
+                else:
+                    nan_streak = 0
+                tmeter.update(timer.lap())
+                if i % log_every == 0:
+                    progress.display(i)
+            lr_now = float(self.schedule(int(state.step)))
+            self._log({"epoch": epoch, "train_loss": lmeter.avg, "lr": lr_now})
+
+            if val_loader is not None and (epoch + 1) % cfg.val_every == 0:
+                vm = self.validate(state, val_loader)
+                self._log({"epoch": epoch, **{k: v for k, v in vm.items()
+                                              if not isinstance(v, np.ndarray)}})
+                if vm["meandice"] > best_dice:
+                    best_dice = vm["meandice"]
+                    self.ckpt.save("best_dice", {"params": state.params, "epoch": epoch})
+                if vm["val_loss"] < best_loss:
+                    best_loss = vm["val_loss"]
+                    self.ckpt.save("best_loss", {"params": state.params, "epoch": epoch})
+        return state
+
+    def validate(self, state: TrainState, val_loader) -> dict:
+        losses, dices, per_class = [], [], []
+        for images, labels, _ in val_loader:
+            m = self.eval_step(state, images, labels)
+            losses.append(float(m["val_loss"]))
+            dices.append(float(m["meandice"]))
+            per_class.append(np.asarray(m["per_class_dice"]))
+        pc = np.concatenate(per_class, axis=0) if per_class else np.zeros((0, self.cfg.num_classes))
+        return {
+            "val_loss": float(np.mean(losses)) if losses else float("nan"),
+            "meandice": float(np.mean(dices)) if dices else float("nan"),
+            "per_class_dice_mean": pc.mean(0).tolist() if len(pc) else [],
+            "per_class_dice": pc,
+        }

@@ -1,0 +1,62 @@
+"""Model zoo shape/numerics tests on tiny volumes (CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micformer_tpu import registry
+
+
+def _forward(name, shape=(1, 2, 32, 32, 32), **kw):
+    model = registry.build(name, **kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=shape).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    return model, variables, out
+
+
+def test_unet3d_shapes():
+    _, _, out = _forward("unet3d")
+    assert out.shape == (1, 8, 32, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mednext_shapes():
+    _, _, out = _forward("mednext", shape=(1, 2, 16, 16, 16))
+    assert out.shape == (1, 8, 16, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mednext_deep_supervision_pyramid():
+    _, _, out = _forward("mednext", shape=(1, 2, 16, 16, 16), deep_supervision=True)
+    assert isinstance(out, list) and len(out) == 5
+    assert out[0].shape == (1, 8, 16, 16, 16)
+    # nnU-Net ordering: highest resolution first (MedNextV1.py:306-335)
+    assert out[1].shape[2:] == (8, 8, 8)
+    assert out[-1].shape[2:] == (1, 1, 1)
+
+
+def test_registry_lists_models():
+    avail = registry.available()
+    assert "unet3d" in avail and "mednext" in avail
+
+
+def test_unet3d_jit_grad():
+    from micformer_tpu.losses.dice import mdice_loss
+
+    model = registry.build("unet3d")
+    x = jnp.ones((1, 2, 16, 16, 16))
+    y = jnp.zeros((1, 8, 16, 16, 16)).at[:, 0].set(1.0)
+    variables = model.init(jax.random.key(0), x)
+
+    @jax.jit
+    def loss_fn(params):
+        out = model.apply({"params": params}, x)
+        return mdice_loss(out, y)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
