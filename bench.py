@@ -31,7 +31,9 @@ def main():
     roi = (128, 128, 128)
     vol_shape = (1, 2, 160, 160, 160)
     x0 = jnp.zeros((1, 2) + roi, jnp.float32)
-    variables = model.init(jax.random.key(0), x0)
+    # jit the init: eager init dispatches thousands of individual ops (deadly
+    # through a remote-compile TPU tunnel); one compiled executable instead.
+    variables = jax.jit(model.init)(jax.random.key(0), x0)
 
     def predictor(win):
         return model.apply(variables, win)

@@ -1,0 +1,97 @@
+"""Batch inference CLI — sliding window + optional fold ensembling + TTA.
+
+Capability parity with the vendored nnU-Net predict pipeline
+(MedNeXt/nnunet_mednext/inference/predict.py:131-604 predict_cases /
+predict_from_folder): iterate cases, per fold restore params, sliding-window
+predict (mirror TTA optional), average fold softmax, argmax, optional
+largest-CC postprocessing, NIfTI export. Preprocessing runs in the loader
+thread (the reference uses a multiprocessing queue; here the TPU step and
+host preprocessing already overlap via the prefetching loader).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+
+def main(argv=None):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from micformer_tpu import registry
+    from micformer_tpu.data import get_datasets
+    from micformer_tpu.data.nifti import write_nifti
+    from micformer_tpu.infer import sliding_window_inference
+    from micformer_tpu.train.checkpoint import CheckpointManager
+    from micformer_tpu.pipeline.postprocess import remove_all_but_largest_cc
+
+    p = argparse.ArgumentParser("micformer_tpu.predict")
+    p.add_argument("--data", required=True)
+    p.add_argument("--cache", default=None)
+    p.add_argument("--model", default="micformer")
+    p.add_argument("--run-dirs", nargs="+", required=True,
+                   help="one run dir per fold to ensemble")
+    p.add_argument("--ckpt-tag", default="best_dice", choices=["best_dice", "best_loss"])
+    p.add_argument("--out", default="./output")
+    p.add_argument("--roi", type=int, default=128)
+    p.add_argument("--overlap", type=float, default=0.5)
+    p.add_argument("--sw-batch-size", type=int, default=2)
+    p.add_argument("--step-mode", default="monai", choices=["monai", "nnunet"])
+    p.add_argument("--mirror-tta", action="store_true")
+    p.add_argument("--largest-cc", action="store_true")
+    p.add_argument("--split", default="test", choices=["val", "test"])
+    p.add_argument("--num_classes", type=int, default=8)
+    p.add_argument("--target-shape", type=int, default=128)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    ts = (args.target_shape,) * 3
+    _, val_ds, test_ds = get_datasets(args.data, cache_dir=args.cache, target_shape=ts)
+    ds = val_ds if args.split == "val" else test_ds
+
+    model = registry.build(args.model, num_classes=args.num_classes)
+    sample = ds[0]
+    x0 = jnp.zeros((1,) + tuple(np.asarray(sample["image"]).shape), jnp.float32)
+    template = model.init(jax.random.key(0), x0)["params"]
+
+    fold_params = []
+    for rd in args.run_dirs:
+        cm = CheckpointManager(rd)
+        restored = cm.restore(args.ckpt_tag, {"params": template, "epoch": 0})
+        fold_params.append(restored["params"])
+
+    roi = (args.roi,) * 3
+
+    def make_infer(params):
+        def predictor(win):
+            return model.apply({"params": params}, win)
+
+        return jax.jit(functools.partial(
+            sliding_window_inference, roi_size=roi, predictor=predictor,
+            num_classes=args.num_classes, overlap=args.overlap,
+            step_mode=args.step_mode, sw_batch_size=args.sw_batch_size,
+            mirror_tta=args.mirror_tta))
+
+    infer_fns = [make_infer(p_) for p_ in fold_params]
+
+    for i in range(len(ds)):
+        s = ds[i]
+        vol = jnp.asarray(np.asarray(s["image"], np.float32))[None]
+        probs = None
+        for fn in infer_fns:
+            logits = fn(vol)
+            sm = jax.nn.softmax(logits, axis=1)
+            probs = sm if probs is None else probs + sm
+        seg = np.asarray(jnp.argmax(probs, axis=1))[0].astype(np.uint8)
+        if args.largest_cc:
+            seg = remove_all_but_largest_cc(seg)
+        out_path = os.path.join(args.out, f"{s['patient_id']}_pred.nii.gz")
+        write_nifti(out_path, seg)
+        print(f"{s['patient_id']}: wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,19 +98,21 @@ class WindowAttention3D(nn.Module):
     qk_scale: float | None = None
     rel_pos_bias: bool = False
     cross: bool = False
+    head_dim: int | None = None   # inner = head_dim*heads when set (SwinUnet3D)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, mask=None):
         N, T, C = x.shape
         h = self.num_heads
+        inner = (self.head_dim * h) if self.head_dim else self.dim
         if self.cross or context is not None:
             ctx = x if context is None else context
-            q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
-            kv = nn.Dense(2 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(ctx)
+            q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+            kv = nn.Dense(2 * inner, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(ctx)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
-            qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+            qkv = nn.Dense(3 * inner, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = split_heads(q, h), split_heads(k, h), split_heads(v, h)
 
@@ -149,6 +151,7 @@ class SwinBlock3D(nn.Module):
     rel_pos_bias: bool = False
     drop_path: float = 0.0
     dropout: float = 0.0
+    head_dim: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -166,7 +169,8 @@ class SwinBlock3D(nn.Module):
         wins = window_partition(x, ws)
         attn = WindowAttention3D(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
-            rel_pos_bias=self.rel_pos_bias, dtype=self.dtype, name="attn",
+            rel_pos_bias=self.rel_pos_bias, head_dim=self.head_dim,
+            dtype=self.dtype, name="attn",
         )(wins, mask=mask)
         x = window_reverse(attn, ws, B, Dp, Hp, Wp)
         x = cyclic_shift(x, ss, reverse=True)
@@ -347,6 +351,42 @@ class ConvNormAct(nn.Module):
         elif self.act == "leaky":
             x = nn.leaky_relu(x, 0.01)
         return x
+
+
+class Conv3x3ViaDot(nn.Module):
+    """3³ 'SAME' conv expressed as 27 shifted matmuls.
+
+    Workaround for a Mosaic/XLA-on-axon compile pathology: `lax.conv` with
+    small-but-not-tiny output channels (e.g. 96->16 k3 at 32³) takes 500+ s to
+    compile, while the same contraction as dots compiles in seconds (measured
+    2026-08-16). FLOP-equivalent; used on cold paths where C_out is small.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (27, C, self.features))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        out = None
+        i = 0
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    patch = xp[:, dz:dz + D, dy:dy + H, dx:dx + W, :]
+                    term = jnp.einsum("bdhwc,cf->bdhwf",
+                                      patch.astype(self.dtype),
+                                      w[i].astype(self.dtype))
+                    out = term if out is None else out + term
+                    i += 1
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,)).astype(self.dtype)
+        return out
 
 
 def zero_dilate(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:

@@ -1,0 +1,226 @@
+"""MicFormer — dual-stream cross-modal Swin U-shape with deformable windowed
+cross-attention (the paper model, arXiv:2404.16371).
+
+Behavioral parity with reference MicFormer/models/MICFormer_self.py (studied,
+not translated — structure rebuilt channels-last for TPU):
+  - Head (:1042-1055): split 2-ch input -> (moving=CT, fixed=MR); MicFormer
+    (window (2,2,2), embed 48 at train: train_mmwhs_noPad.py:92); out conv
+    k3 (embed/2 -> num_classes).
+  - MicFormer (:881-1039): SHARED patch-embed conv k4 s4 for both streams
+    (:995-996 — one module, two calls), 4 encoder BasicLayers (dims 48·2^i,
+    depths [2,2,6,2], heads [3,6,12,24], conv PatchMerging shared across
+    streams for stages 0-2), shared LN bottleneck, 4 decoder BasicLayers
+    (PatchExpand for i>0), skip-concat per stream + shared Linear(2C->C)
+    (:1027-1030), final concat + LN + ConvTranspose k4 s4 (2E -> E/2).
+  - BasicLayer (:582-707): per depth i:
+        x, xa = Self1(x), Self2(xa); x, xa = Cross1(x, xa), Cross2(xa, x)
+  - CrossTransformerBlock3D (:277-426): LN on Q-stream only; offsets =
+    Conv(2C->16,k3)+ChannelLN+GELU+Conv(16->3,k1,no-bias) on concat(LN(x), xa)
+    (:313-318,354-358); pos = offsets + reference grid (:363-364,
+    offset_range_factor=2 >= 0 branch -> NO tanh); STN-warp of xa by pos as a
+    voxel flow (:379, double-grid quirk kept faithfully — SURVEY §2.13, flag
+    `faithful_grid`); windowed cross-attention Q=x, K/V=warped xa (:387-394),
+    separate q/kv projections, no rel-pos bias (:148-203); residual+DropPath,
+    pre-norm MLP.
+  - drop_path: linspace 0..0.2 over sum(depths) blocks (:941); dropout 0.
+
+TPU notes: 128³ input -> stages 32³..4³ all divide window 2, so padding is a
+trace-time no-op; window partition fuses into the attention einsums; the warp
+is one 8-corner gather (ops/warp.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from micformer_tpu.models.layers import (
+    Mlp,
+    Conv3x3ViaDot,
+    DropPath,
+    WindowAttention3D,
+    SwinBlock3D,
+    PatchEmbed3D,
+    PatchMergingConv,
+    PatchExpandConv,
+    pad_to_multiple,
+    to_channels_last,
+    to_channels_first,
+)
+from micformer_tpu.ops.windows import window_partition, window_reverse, adjust_window_shift
+from micformer_tpu.ops.warp import stn_warp, reference_points
+from micformer_tpu import registry
+
+
+class CrossBlock3D(nn.Module):
+    """CrossTransformerBlock3D: deformable-warp + windowed cross-attention."""
+
+    dim: int
+    num_heads: int
+    window_size: tuple = (2, 2, 2)
+    hidden_channels: int = 16
+    offset_kernel: int = 3
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    faithful_grid: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xa, deterministic: bool = True):
+        B, D, H, W, C = x.shape
+        ws = adjust_window_shift((D, H, W), self.window_size)
+
+        shortcut = x
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        xn = pad_to_multiple(xn, ws)
+        xap = pad_to_multiple(xa, ws)
+        _, Dp, Hp, Wp, _ = xn.shape
+
+        # offset field from concat(LN(x), xa) — Conv k3 + channel-LN + GELU + Conv k1.
+        # k3 conv lowered to matmuls (Conv3x3ViaDot) — lax.conv with 16 output
+        # channels hits a minutes-long Mosaic compile pathology on this stack.
+        off = jnp.concatenate([xn, xap], axis=-1)
+        off = Conv3x3ViaDot(self.hidden_channels, dtype=self.dtype,
+                            name="offset_conv1")(off)
+        off = nn.LayerNorm(dtype=self.dtype, name="offset_norm")(off)
+        off = nn.gelu(off)
+        off = nn.Conv(3, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                      name="offset_conv2")(off)          # [B, Dp, Hp, Wp, 3]
+
+        ref = reference_points(Dp, Hp, Wp, faithful=self.faithful_grid)
+        pos = jnp.moveaxis(off, -1, 1).astype(jnp.float32) + ref  # [B,3,D,H,W]
+        xa_warp = stn_warp(xap.astype(jnp.float32), pos).astype(xap.dtype)
+
+        x_wins = window_partition(xn, ws)
+        xa_wins = window_partition(xa_warp, ws)
+        attn = WindowAttention3D(self.dim, ws, self.num_heads, self.qkv_bias,
+                                 cross=True, dtype=self.dtype, name="cross_attn")(
+            x_wins, context=xa_wins)
+        h = window_reverse(attn, ws, B, Dp, Hp, Wp)[:, :D, :H, :W]
+
+        x = shortcut + DropPath(self.drop_path)(h, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
+
+class DualStreamStage(nn.Module):
+    """BasicLayer (:582-707): depth × (self per stream, cross both ways),
+    then a SHARED resample module applied to both streams."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: tuple = (2, 2, 2)
+    drop_paths: Sequence[float] = (0.0,)
+    resample: str | None = None   # None | 'merge' | 'expand'
+    qkv_bias: bool = True
+    faithful_grid: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xa, deterministic: bool = True):
+        for i in range(self.depth):
+            dp = self.drop_paths[i] if i < len(self.drop_paths) else self.drop_paths[-1]
+            common = dict(dim=self.dim, num_heads=self.num_heads,
+                          window_size=self.window_size, qkv_bias=self.qkv_bias,
+                          drop_path=dp, dtype=self.dtype)
+            x = SwinBlock3D(rel_pos_bias=False, name=f"self1_{i}", **common)(x, deterministic)
+            xa = SwinBlock3D(rel_pos_bias=False, name=f"self2_{i}", **common)(xa, deterministic)
+            cross1 = CrossBlock3D(faithful_grid=self.faithful_grid, name=f"cross1_{i}", **common)
+            cross2 = CrossBlock3D(faithful_grid=self.faithful_grid, name=f"cross2_{i}", **common)
+            x, xa = cross1(x, xa, deterministic), cross2(xa, x, deterministic)
+
+        if self.resample == "merge":
+            down = PatchMergingConv(self.dim, dtype=self.dtype, name="downsample")
+            return x, xa, down(x), down(xa)
+        if self.resample == "expand":
+            up = PatchExpandConv(self.dim, dtype=self.dtype, name="upsample")
+            return x, xa, up(x), up(xa)
+        return x, xa, x, xa
+
+
+class MicFormer(nn.Module):
+    """Head + MicFormer U-shape (:881-1055). Input [B, 2, D, H, W] (CT, MR)."""
+
+    num_classes: int = 8
+    embed_dim: int = 48
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: tuple = (2, 2, 2)
+    patch_size: tuple = (4, 4, 4)
+    drop_path_rate: float = 0.2
+    faithful_grid: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = to_channels_last(x)
+        moving, fixed = x[..., :1], x[..., 1:2]   # CT, MR (Head :1050)
+
+        # shared patch embed, patch_norm=False (:934-936)
+        embed = PatchEmbed3D(self.embed_dim, self.patch_size, use_norm=False,
+                             dtype=self.dtype, name="patch_embed")
+        moving, fixed = embed(moving), embed(fixed)
+
+        n_layers = len(self.depths)
+        dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
+
+        feats_m, feats_f = [], []
+        for i in range(n_layers):
+            stage = DualStreamStage(
+                dim=self.embed_dim * 2 ** i,
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                drop_paths=tuple(dpr[sum(self.depths[:i]): sum(self.depths[: i + 1])]),
+                resample="merge" if i < n_layers - 1 else None,
+                faithful_grid=self.faithful_grid,
+                dtype=self.dtype,
+                name=f"enc{i}",
+            )
+            m_out, f_out, moving, fixed = stage(moving, fixed, deterministic)
+            feats_m.append(m_out)
+            feats_f.append(f_out)
+
+        bottleneck_norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        moving, fixed = bottleneck_norm(moving), bottleneck_norm(fixed)
+
+        for inx, i in enumerate(reversed(range(n_layers))):
+            dim = self.embed_dim * 2 ** i
+            if inx > 0:
+                skip_m, skip_f = feats_m[n_layers - 1 - inx], feats_f[n_layers - 1 - inx]
+                moving = jnp.concatenate([moving, skip_m], axis=-1)
+                fixed = jnp.concatenate([fixed, skip_f], axis=-1)
+                back = nn.Dense(dim, dtype=self.dtype, name=f"concat_back{inx}")
+                moving, fixed = back(moving), back(fixed)
+            stage = DualStreamStage(
+                dim=dim,
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                drop_paths=tuple(dpr[sum(self.depths[:i]): sum(self.depths[: i + 1])]),
+                resample="expand" if i > 0 else None,
+                faithful_grid=self.faithful_grid,
+                dtype=self.dtype,
+                name=f"dec{inx}",
+            )
+            _, _, moving, fixed = stage(moving, fixed, deterministic)
+
+        out = jnp.concatenate([moving, fixed], axis=-1)          # 2E
+        out = nn.LayerNorm(dtype=self.dtype, name="norm2")(out)
+        out = nn.ConvTranspose(self.embed_dim // 2, self.patch_size,
+                               strides=self.patch_size, padding="VALID",
+                               dtype=self.dtype, name="reverse_patch_embed")(out)
+        out = nn.Conv(self.num_classes, (3, 3, 3), padding=1, dtype=self.dtype,
+                      name="out_conv")(out)
+        return to_channels_first(out.astype(jnp.float32))
+
+
+@registry.register("micformer", num_classes=8, embed_dim=48)
+def build_micformer(**kw):
+    return MicFormer(**kw)

@@ -1,0 +1,114 @@
+"""SwinUNETR — Swin transformer encoder + residual conv UNETR decoder.
+
+Functional equivalent of the reference's MONAI usage
+(SwinUnter/train_mmwhs_noPad.py:92-93):
+  SwinUNETR(img_size=(128,128,128), in_channels=2, out_channels=8,
+            depths=(2,4,2,2), num_heads=[2,4,8,12], feature_size=12)
+MONAI SwinUNETR structure (capability surface, re-implemented):
+  - SwinViT: patch embed k=s=2 -> feature_size channels; 4 stages of
+    (regular, shifted) window-7 blocks with rel-pos bias, linear PatchMerging
+    between stages; hidden states after embed + each stage are tapped.
+  - encoder1..4 + bottleneck: UnetrBasicBlock = residual double
+    (conv3 + InstanceNorm + LeakyReLU) on input / hidden states.
+  - decoder5..1: transpose-conv 2x up + skip concat + UnetrBasicBlock.
+  - out: 1³ conv head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from micformer_tpu.models.layers import (
+    SwinBlock3D,
+    PatchEmbed3D,
+    PatchMergingLinear,
+    InstanceNorm,
+    to_channels_last,
+    to_channels_first,
+)
+from micformer_tpu import registry
+
+
+class ResConvBlock(nn.Module):
+    """UnetrBasicBlock equivalent: 2x(conv k3 + InstanceNorm + LeakyReLU),
+    1³-conv residual when channels change."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(x)
+        h = InstanceNorm(affine=True, dtype=self.dtype)(h)
+        h = nn.leaky_relu(h, 0.01)
+        h = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(h)
+        h = InstanceNorm(affine=True, dtype=self.dtype)(h)
+        res = x if x.shape[-1] == self.features else nn.Conv(
+            self.features, (1, 1, 1), dtype=self.dtype, name="res")(x)
+        return nn.leaky_relu(h + res, 0.01)
+
+
+class UpBlock(nn.Module):
+    """UnetrUpBlock: transpose conv 2x + concat skip + ResConvBlock."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2),
+                             padding="VALID", dtype=self.dtype)(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return ResConvBlock(self.features, dtype=self.dtype)(x)
+
+
+class SwinUNETR(nn.Module):
+    num_classes: int = 8
+    feature_size: int = 12
+    depths: Sequence[int] = (2, 4, 2, 2)
+    num_heads: Sequence[int] = (2, 4, 8, 12)
+    window_size: tuple = (7, 7, 7)
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x_in = to_channels_last(x)
+        F = self.feature_size
+
+        # SwinViT with patch size 2
+        h = PatchEmbed3D(F, (2, 2, 2), use_norm=False, dtype=self.dtype,
+                         name="patch_embed")(x_in)
+        hiddens = [h]
+        for i in range(4):
+            dim = F * 2 ** i
+            for b in range(self.depths[i]):
+                h = SwinBlock3D(dim, self.num_heads[i], self.window_size,
+                                tuple(w // 2 for w in self.window_size) if b % 2 else (0, 0, 0),
+                                rel_pos_bias=True, dtype=self.dtype,
+                                name=f"swin{i}_b{b}")(h, deterministic)
+            h = PatchMergingLinear(dim, dtype=self.dtype, name=f"merge{i}")(h)
+            hiddens.append(h)
+
+        enc0 = ResConvBlock(F, dtype=self.dtype, name="encoder1")(x_in)
+        enc1 = ResConvBlock(F, dtype=self.dtype, name="encoder2")(hiddens[0])
+        enc2 = ResConvBlock(2 * F, dtype=self.dtype, name="encoder3")(hiddens[1])
+        enc3 = ResConvBlock(4 * F, dtype=self.dtype, name="encoder4")(hiddens[2])
+        dec4 = ResConvBlock(16 * F, dtype=self.dtype, name="encoder10")(hiddens[4])
+
+        d = UpBlock(8 * F, dtype=self.dtype, name="decoder5")(dec4, hiddens[3])
+        d = UpBlock(4 * F, dtype=self.dtype, name="decoder4")(d, enc3)
+        d = UpBlock(2 * F, dtype=self.dtype, name="decoder3")(d, enc2)
+        d = UpBlock(F, dtype=self.dtype, name="decoder2")(d, enc1)
+        d = UpBlock(F, dtype=self.dtype, name="decoder1")(d, enc0)
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(d)
+        return to_channels_first(out.astype(jnp.float32))
+
+
+@registry.register("swinunetr", num_classes=8, feature_size=12)
+def build_swinunetr(**kw):
+    return SwinUNETR(**kw)

@@ -1,0 +1,123 @@
+"""TransUNet (3D) — conv U-Net with attention-gated skip connections.
+
+Behavioral parity with reference TransUnet/models/ (studied, not translated):
+  - ConvEncoder (encoders/conv_encoder.py): DoubleConvBlock
+    (conv k3 + norm + ReLU, x2) per level, MaxPool 2x between levels, skips
+    tapped pre-pool; MM-WHS channels [16,32,64,128,190,256]
+    (TransUnet/train_mmwhs_noPad.py:93-98).
+  - ConvTransDecoder (decoders/conv_trans_decoder.py): per level, the skip is
+    gated by PatchifyVisionMultiheadAttention (blocks/attention_blocks.py:9):
+    Q = patchified skip, K/V = patchified decoder state (conv k=s=patch to
+    embed 64), sinusoidal 3D PE on both, 8-head MHA, transpose-conv upscale
+    back to the skip grid, residual add + norm; then decoder upsample
+    (transpose conv), concat gated skip, DoubleConvBlock.
+  - patch_size per level = min(skip_spatial) // patch_size_factor(8).
+  - output layer: 1³ conv (segmentation/segmentation.py / unet.py).
+
+Norm note: reference uses BatchNorm3d; at batch 1 its train-mode statistics
+are per-channel spatial — implemented as InstanceNorm(affine) (stateless).
+The attention-embedding norm/activation are Identity in the shipped config.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from micformer_tpu.models.layers import InstanceNorm, to_channels_last, to_channels_first
+from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge_heads
+from micformer_tpu.ops.pe import sinusoidal_pe_3d
+from micformer_tpu import registry
+
+
+class DoubleConv(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(x)
+            x = InstanceNorm(affine=True, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class AttentionGate(nn.Module):
+    """PatchifyVisionMultiheadAttention: skip gated by decoder context."""
+
+    embed_size: int = 64
+    num_heads: int = 8
+    patch_size: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip, dec):
+        B, Ds, Hs, Ws, Cs = skip.shape
+        p = (self.patch_size,) * 3
+        q_tok = nn.Conv(self.embed_size, p, strides=p, padding="VALID",
+                        dtype=self.dtype, name="embed_skip")(skip)
+        kv_tok = nn.Conv(self.embed_size, p, strides=p, padding="VALID",
+                         dtype=self.dtype, name="embed_dec")(dec)
+
+        def with_pe(t):
+            _, d, h, w, c = t.shape
+            return t + jnp.asarray(sinusoidal_pe_3d(d, h, w, c))[None].astype(t.dtype)
+
+        q_tok, kv_tok = with_pe(q_tok), with_pe(kv_tok)
+        qd, qh, qw = q_tok.shape[1:4]
+        q = nn.Dense(self.embed_size, dtype=self.dtype, name="q")(
+            q_tok.reshape(B, -1, self.embed_size))
+        k = nn.Dense(self.embed_size, dtype=self.dtype, name="k")(
+            kv_tok.reshape(B, -1, self.embed_size))
+        v = nn.Dense(self.embed_size, dtype=self.dtype, name="v")(
+            kv_tok.reshape(B, -1, self.embed_size))
+        o = multi_head_attention(split_heads(q, self.num_heads),
+                                 split_heads(k, self.num_heads),
+                                 split_heads(v, self.num_heads))
+        o = nn.Dense(self.embed_size, dtype=self.dtype, name="out")(merge_heads(o))
+        o = o.reshape(B, qd, qh, qw, self.embed_size)
+        o = nn.ConvTranspose(Cs, p, strides=p, padding="VALID", dtype=self.dtype,
+                             name="upscale")(o)
+        return o + skip
+
+
+class TransUNet(nn.Module):
+    num_classes: int = 8
+    num_channels_list: Sequence[int] = (16, 32, 64, 128, 190, 256)
+    patch_size_factor: int = 8
+    embed_size: int = 64
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = to_channels_last(x)
+        chs = list(self.num_channels_list)
+        skips = []
+        for i, c in enumerate(chs):
+            x = DoubleConv(c, dtype=self.dtype, name=f"enc{i}")(x)
+            if i < len(chs) - 1:
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+        for j, c in enumerate(chs[-2::-1]):
+            skip = skips[-1 - j]
+            patch = max(min(skip.shape[1:4]) // self.patch_size_factor, 1)
+            gated = AttentionGate(self.embed_size, self.num_heads, patch,
+                                  dtype=self.dtype, name=f"gate{j}")(skip, x)
+            x = nn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                                 dtype=self.dtype, name=f"up{j}")(x)
+            x = jnp.concatenate([x, gated], axis=-1)
+            x = DoubleConv(c, dtype=self.dtype, name=f"dec{j}")(x)
+
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
+        return to_channels_first(out.astype(jnp.float32))
+
+
+@registry.register("transunet", num_classes=8)
+def build_transunet(**kw):
+    return TransUNet(**kw)

@@ -103,8 +103,16 @@ def stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     )
     grid = jnp.stack(grids)[None]  # [1, 3, D, H, W]
     locs = grid + flow
+    # size-1 axes: the reference formula divides by (S-1)=0 (NaN in torch too);
+    # sample the only plane instead — identity on that axis.
     coords = jnp.stack(
-        [locs[:, i] / (sizes[i] - 1) * sizes[i] - 0.5 for i in range(3)], axis=1
+        [
+            locs[:, i] / (sizes[i] - 1) * sizes[i] - 0.5
+            if sizes[i] > 1
+            else jnp.zeros_like(locs[:, i])
+            for i in range(3)
+        ],
+        axis=1,
     )
     return trilinear_sample(src, coords)
 

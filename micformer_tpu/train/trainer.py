@@ -110,6 +110,9 @@ class Trainer:
         self.ckpt = CheckpointManager(cfg.run_dir)
         self._log_path = os.path.join(cfg.run_dir, "log.jsonl")
         os.makedirs(cfg.run_dir, exist_ok=True)
+        from micformer_tpu.train.logging import MetricsWriter
+
+        self.writer = MetricsWriter(cfg.run_dir)
         self._build_steps()
 
     # -- state ------------------------------------------------------------
@@ -117,7 +120,8 @@ class Trainer:
     def init_state(self, sample_batch_shape, rng=None) -> TrainState:
         rng = jax.random.key(self.cfg.seed) if rng is None else rng
         dummy = jnp.zeros(sample_batch_shape, jnp.float32)
-        variables = self.model.init(rng, dummy)
+        # jitted init: one compiled executable instead of op-by-op dispatch
+        variables = jax.jit(self.model.init)(rng, dummy)
         params = variables["params"]
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=self.tx.init(params), tx=self.tx)
@@ -235,11 +239,20 @@ class Trainer:
                     progress.display(i)
             lr_now = float(self.schedule(int(state.step)))
             self._log({"epoch": epoch, "train_loss": lmeter.avg, "lr": lr_now})
+            self.writer.scalar("train/loss", lmeter.avg, epoch)
+            self.writer.scalar("train/lr", lr_now, epoch)
 
             if val_loader is not None and (epoch + 1) % cfg.val_every == 0:
                 vm = self.validate(state, val_loader)
                 self._log({"epoch": epoch, **{k: v for k, v in vm.items()
                                               if not isinstance(v, np.ndarray)}})
+                self.writer.scalar("val/loss", vm["val_loss"], epoch)
+                self.writer.scalar("val/meandice", vm["meandice"], epoch)
+                from micformer_tpu.train.logging import save_metrics
+
+                save_metrics(self.writer, vm["per_class_dice"],
+                             [f"c{i}" for i in range(cfg.num_classes)],
+                             epoch, cfg.run_dir)
                 if vm["meandice"] > best_dice:
                     best_dice = vm["meandice"]
                     self.ckpt.save("best_dice", {"params": state.params, "epoch": epoch})
