@@ -20,6 +20,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Auto-dispatch to the fused Pallas kernel (ops/pallas/window_attention.py)
+# for unbiased/unmasked tiny-window attention on TPU. Set False to force the
+# XLA einsum path (e.g. for numerics A/B tests).
+USE_FUSED = True
+
 
 def multi_head_attention(
     q: jnp.ndarray,
@@ -45,6 +50,14 @@ def multi_head_attention(
     N, h, Tq, d = q.shape
     if scale is None:
         scale = d ** -0.5
+    if USE_FUSED and Tq == k.shape[2]:
+        from micformer_tpu.ops.pallas.window_attention import (
+            fused_window_attention,
+            should_use_fused,
+        )
+
+        if should_use_fused(Tq, d, bias, mask):
+            return fused_window_attention(q, k, v, scale)
     qf = q.astype(jnp.float32) * scale
     kf = k.astype(jnp.float32)
     attn = jnp.einsum("nhqd,nhkd->nhqk", qf, kf)

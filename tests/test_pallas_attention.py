@@ -1,0 +1,61 @@
+"""Fused window-attention kernel: parity vs einsum reference (interpret mode
+on CPU) for forward and gradients, including the non-divisible tail."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micformer_tpu.ops.pallas.window_attention import fused_window_attention
+from micformer_tpu.ops import attention as attention_mod
+from micformer_tpu.ops.attention import multi_head_attention
+
+
+def _reference(q, k, v, scale=None):
+    attention_mod_prev = attention_mod.USE_FUSED
+    attention_mod.USE_FUSED = False
+    try:
+        return multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                    scale=scale)
+    finally:
+        attention_mod.USE_FUSED = attention_mod_prev
+
+
+@pytest.mark.parametrize("N,h,T,d", [(20, 3, 8, 16), (7, 2, 8, 16), (5, 1, 4, 8)])
+def test_fused_matches_einsum(rng, N, h, T, d):
+    q = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    k = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    v = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    out = fused_window_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                 None, True)  # interpret mode
+    ref = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_grad_matches_einsum(rng):
+    N, h, T, d = 6, 2, 8, 16
+    q = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    k = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    v = rng.normal(size=(N, h, T, d)).astype(np.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_window_attention(q, k, v, None, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_dispatch_predicate():
+    from micformer_tpu.ops.pallas.window_attention import should_use_fused
+
+    # CPU backend in tests -> never dispatches
+    assert should_use_fused(8, 16, None, None) is (jax.default_backend() == "tpu")
+    assert should_use_fused(8, 16, np.zeros((1, 8, 8)), None) is False
+    assert should_use_fused(8, 16, None, np.zeros((1, 8, 8))) is False
+    assert should_use_fused(48, 16, None, None) is False
