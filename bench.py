@@ -15,6 +15,13 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: first-ever compile of the flagship at 128^3
+# costs tens of minutes through the remote-compile tunnel; cached executables
+# make subsequent bench runs start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -132,6 +132,19 @@ def read_nifti(path, dtype=None, with_header=False):
     Returns the array in (z, y, x) index order (SimpleITK convention, matching
     reference MMWHS.py:407-409), with scl_slope/inter applied when nontrivial.
     """
+    if not with_header and dtype is not None and np.dtype(dtype) == np.float32:
+        # fast path: native C++ reader (zlib + multithreaded dtype convert);
+        # parity-tested against this Python implementation (tests/test_native.py).
+        # Only taken when the caller explicitly wants float32 — the Python path
+        # preserves the stored dtype.
+        try:
+            from micformer_tpu import native
+
+            arr = native.read_nifti_f32(path)
+            if arr is not None:
+                return arr.astype(dtype) if dtype is not None else arr
+        except Exception:
+            pass
     with _open_maybe_gzip(path) as f:
         raw = f.read()
     hdr = _parse_header(raw)
