@@ -182,10 +182,10 @@ class Trainer:
             rep = NamedSharding(self.mesh, P())
             self.train_step = jax.jit(
                 train_step,
-                in_shardings=(None, batch_sh, batch_sh, rep),
+                in_shardings=(rep, batch_sh, batch_sh, rep),
                 **donate,
             )
-            self.eval_step = jax.jit(eval_step, in_shardings=(None, batch_sh, batch_sh))
+            self.eval_step = jax.jit(eval_step, in_shardings=(rep, batch_sh, batch_sh))
         else:
             self.train_step = jax.jit(train_step, **donate)
             self.eval_step = jax.jit(eval_step)
