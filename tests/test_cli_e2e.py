@@ -1,0 +1,68 @@
+"""End-to-end CLI flow on synthetic data: train -> predict -> evaluate."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    from micformer_tpu.data.synthetic import write_synthetic_dataset
+
+    root = str(tmp_path_factory.mktemp("clidata"))
+    write_synthetic_dataset(root, n_cases=6, shape=(24, 24, 24), seed=5)
+    return root
+
+
+def test_train_cli(data_root, tmp_path_factory):
+    from micformer_tpu.cli.train import main
+
+    run_dir = str(tmp_path_factory.mktemp("clirun"))
+    main([
+        "--data", data_root, "--cache", data_root + "/cache",
+        "--model", "unet3d", "--epochs", "2", "--val", "1",
+        "--target-shape", "16", "--run-dir", run_dir,
+    ])
+    assert os.path.isdir(os.path.join(run_dir, "ckpt_best_dice"))
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(run_dir, "val.txt"))
+    # stash for the predict test
+    test_train_cli.run_dir = run_dir
+
+
+def test_predict_and_evaluate_cli(data_root, tmp_path_factory):
+    from micformer_tpu.cli.predict import main as predict_main
+    from micformer_tpu.cli.evaluate import main as evaluate_main
+    from micformer_tpu.data.nifti import write_nifti, read_nifti
+    from micformer_tpu.data import get_datasets
+
+    run_dir = getattr(test_train_cli, "run_dir", None)
+    if run_dir is None:
+        pytest.skip("train test did not run")
+    out_dir = str(tmp_path_factory.mktemp("preds"))
+    predict_main([
+        "--data", data_root, "--cache", data_root + "/cache",
+        "--model", "unet3d", "--run-dirs", run_dir,
+        "--out", out_dir, "--roi", "16", "--target-shape", "16",
+        "--split", "test", "--largest-cc",
+    ])
+    preds = glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
+    assert preds, "no predictions written"
+
+    # build GT label maps for the same split
+    gt_dir = str(tmp_path_factory.mktemp("gts"))
+    _, _, test_ds = get_datasets(data_root, cache_dir=data_root + "/cache",
+                                 target_shape=(16, 16, 16))
+    for i in range(len(test_ds)):
+        s = test_ds[i]
+        gt = np.argmax(np.asarray(s["label"]), axis=0).astype(np.uint8)
+        write_nifti(os.path.join(gt_dir, f"{s['patient_id']}_gt.nii.gz"), gt)
+
+    summary = str(tmp_path_factory.mktemp("ev") / "summary.json")
+    agg = evaluate_main(["--pred", out_dir, "--gt", gt_dir, "--json", summary])
+    assert os.path.exists(summary)
+    data = json.load(open(summary))
+    assert "results" in data and "mean" in data["results"]
