@@ -203,11 +203,14 @@ class Trainer:
         state = self.init_state(sample)
         start_epoch = 0
         if resume and self.ckpt.exists("best_dice"):
-            restored = self.ckpt.restore(
-                "best_dice",
-                {"params": state.params, "epoch": 0},
-            )
-            state = state.replace(params=restored["params"])
+            # full resume: params + opt_state + step + epoch (the reference
+            # drops optimizer state on its live resume path — SURVEY §5)
+            template = {"params": state.params, "opt_state": state.opt_state,
+                        "step": state.step, "epoch": 0}
+            restored = self.ckpt.restore("best_dice", template)
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=restored["step"])
             start_epoch = int(restored["epoch"]) + 1
             print(f"resumed from epoch {start_epoch}")
 
@@ -253,12 +256,14 @@ class Trainer:
                 save_metrics(self.writer, vm["per_class_dice"],
                              [f"c{i}" for i in range(cfg.num_classes)],
                              epoch, cfg.run_dir)
+                payload = {"params": state.params, "opt_state": state.opt_state,
+                           "step": state.step, "epoch": epoch}
                 if vm["meandice"] > best_dice:
                     best_dice = vm["meandice"]
-                    self.ckpt.save("best_dice", {"params": state.params, "epoch": epoch})
+                    self.ckpt.save("best_dice", payload)
                 if vm["val_loss"] < best_loss:
                     best_loss = vm["val_loss"]
-                    self.ckpt.save("best_loss", {"params": state.params, "epoch": epoch})
+                    self.ckpt.save("best_loss", payload)
         return state
 
     def validate(self, state: TrainState, val_loader) -> dict:
