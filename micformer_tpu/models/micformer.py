@@ -120,19 +120,23 @@ class DualStreamStage(nn.Module):
     resample: str | None = None   # None | 'merge' | 'expand'
     qkv_bias: bool = True
     faithful_grid: bool = True
+    use_remat: bool = False       # gradient checkpointing (reference
+                                  # use_checkpoint, MICFormer_self.py:415-423)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, xa, deterministic: bool = True):
+        SelfBlk = nn.remat(SwinBlock3D, static_argnums=(2,)) if self.use_remat else SwinBlock3D
+        CrossBlk = nn.remat(CrossBlock3D, static_argnums=(3,)) if self.use_remat else CrossBlock3D
         for i in range(self.depth):
             dp = self.drop_paths[i] if i < len(self.drop_paths) else self.drop_paths[-1]
             common = dict(dim=self.dim, num_heads=self.num_heads,
                           window_size=self.window_size, qkv_bias=self.qkv_bias,
                           drop_path=dp, dtype=self.dtype)
-            x = SwinBlock3D(rel_pos_bias=False, name=f"self1_{i}", **common)(x, deterministic)
-            xa = SwinBlock3D(rel_pos_bias=False, name=f"self2_{i}", **common)(xa, deterministic)
-            cross1 = CrossBlock3D(faithful_grid=self.faithful_grid, name=f"cross1_{i}", **common)
-            cross2 = CrossBlock3D(faithful_grid=self.faithful_grid, name=f"cross2_{i}", **common)
+            x = SelfBlk(rel_pos_bias=False, name=f"self1_{i}", **common)(x, deterministic)
+            xa = SelfBlk(rel_pos_bias=False, name=f"self2_{i}", **common)(xa, deterministic)
+            cross1 = CrossBlk(faithful_grid=self.faithful_grid, name=f"cross1_{i}", **common)
+            cross2 = CrossBlk(faithful_grid=self.faithful_grid, name=f"cross2_{i}", **common)
             x, xa = cross1(x, xa, deterministic), cross2(xa, x, deterministic)
 
         if self.resample == "merge":
@@ -155,6 +159,7 @@ class MicFormer(nn.Module):
     patch_size: tuple = (4, 4, 4)
     drop_path_rate: float = 0.2
     faithful_grid: bool = True
+    use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -180,6 +185,7 @@ class MicFormer(nn.Module):
                 drop_paths=tuple(dpr[sum(self.depths[:i]): sum(self.depths[: i + 1])]),
                 resample="merge" if i < n_layers - 1 else None,
                 faithful_grid=self.faithful_grid,
+                use_remat=self.use_remat,
                 dtype=self.dtype,
                 name=f"enc{i}",
             )
@@ -206,6 +212,7 @@ class MicFormer(nn.Module):
                 drop_paths=tuple(dpr[sum(self.depths[:i]): sum(self.depths[: i + 1])]),
                 resample="expand" if i > 0 else None,
                 faithful_grid=self.faithful_grid,
+                use_remat=self.use_remat,
                 dtype=self.dtype,
                 name=f"dec{inx}",
             )
