@@ -27,13 +27,21 @@ import numpy as np
 
 
 def main():
+    import os
+
     from micformer_tpu import registry
     from micformer_tpu.infer import sliding_window_inference
     import functools
 
     avail = registry.available()
-    name = "micformer" if "micformer" in avail else "unet3d"
-    model = registry.build(name, num_classes=8)
+    name = os.environ.get("MICFORMER_BENCH_MODEL",
+                          "micformer" if "micformer" in avail else "unet3d")
+    dtype_name = os.environ.get("MICFORMER_BENCH_DTYPE", "float32")
+    sw_batch = int(os.environ.get("MICFORMER_BENCH_SWBATCH", "2"))
+    kw = dict(num_classes=8)
+    if dtype_name == "bfloat16":
+        kw["dtype"] = jnp.bfloat16
+    model = registry.build(name, **kw)
 
     roi = (128, 128, 128)
     vol_shape = (1, 2, 160, 160, 160)
@@ -48,7 +56,7 @@ def main():
     infer = jax.jit(functools.partial(
         sliding_window_inference,
         roi_size=roi, predictor=predictor, num_classes=8,
-        overlap=0.5, blend="gaussian", step_mode="monai", sw_batch_size=2,
+        overlap=0.5, blend="gaussian", step_mode="monai", sw_batch_size=sw_batch,
     ))
 
     rng = np.random.default_rng(0)
@@ -74,6 +82,8 @@ def main():
         "unit": "volumes/s/chip",
         "vs_baseline": None,
         "model": name,
+        "dtype": dtype_name,
+        "sw_batch_size": sw_batch,
         "volume": list(vol_shape),
         "roi": list(roi),
         "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
