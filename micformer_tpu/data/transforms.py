@@ -88,3 +88,108 @@ def batched_train_augment(key, images, labels):
     """vmap over the batch dim with independent per-sample keys."""
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(train_augment)(keys, images, labels)
+
+# ---------------------------------------------------------------------------
+# nnU-Net moreDA-style spatial/intensity augmentations (capability parity with
+# MedNeXt/nnunet_mednext/training/data_augmentation/data_augmentation_moreDA.py
+# batchgenerators pipeline), implemented as on-device jittable transforms.
+# ---------------------------------------------------------------------------
+
+
+def rand_gamma(key, image, gamma_range=(0.7, 1.5), prob: float = 0.3,
+               invert_image: bool = False):
+    """batchgenerators GammaTransform semantics: min-max normalize to [0,1],
+    apply x^gamma, restore the original range."""
+    kg, kp = jax.random.split(key)
+    gamma = jax.random.uniform(kg, (), minval=gamma_range[0], maxval=gamma_range[1])
+    sign = -1.0 if invert_image else 1.0
+    x = sign * image
+    mn = jnp.min(x)
+    rng_ = jnp.maximum(jnp.max(x) - mn, 1e-7)
+    out = sign * (((x - mn) / rng_) ** gamma * rng_ + mn)
+    return jnp.where(jax.random.bernoulli(kp, prob), out, image)
+
+
+def rand_gaussian_noise(key, image, sigma_range=(0.0, 0.1), prob: float = 0.1):
+    kn, ks, kp = jax.random.split(key, 3)
+    sigma = jax.random.uniform(ks, (), minval=sigma_range[0], maxval=sigma_range[1])
+    noise = jax.random.normal(kn, image.shape, image.dtype) * sigma
+    return jnp.where(jax.random.bernoulli(kp, prob), image + noise, image)
+
+
+def _gaussian_blur_1d(x, sigma, axis, radius: int = 3):
+    offs = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    w = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-3)) ** 2)
+    w = w / jnp.sum(w)
+    out = jnp.zeros_like(x)
+    for i, o in enumerate(range(-radius, radius + 1)):
+        out = out + w[i] * jnp.roll(x, o, axis=axis)
+    return out
+
+
+def rand_gaussian_blur(key, image, sigma_range=(0.5, 1.0), prob: float = 0.2):
+    """Separable Gaussian blur over the last 3 axes (GaussianBlurTransform)."""
+    ks, kp = jax.random.split(key)
+    sigma = jax.random.uniform(ks, (), minval=sigma_range[0], maxval=sigma_range[1])
+    out = image
+    for ax in (-3, -2, -1):
+        out = _gaussian_blur_1d(out, sigma, ax)
+    return jnp.where(jax.random.bernoulli(kp, prob), out, image)
+
+
+def rand_affine(key, image, label, rot_range=0.26, scale_range=(0.85, 1.25),
+                prob: float = 0.2):
+    """Random 3D rotation + isotropic zoom (SpatialTransform's rotation/scale
+    core): build an affine coordinate grid and resample — image trilinearly,
+    one-hot label channels trilinearly then re-binarized by argmax upstream
+    (labels here stay soft; callers argmax at loss/metric time already).
+
+    image: [C, D, H, W]; label: [K, D, H, W].
+    """
+    from micformer_tpu.ops.warp import trilinear_sample
+
+    k1, k2, k3, k4, kp = jax.random.split(key, 5)
+    a = jax.random.uniform(k1, (), minval=-rot_range, maxval=rot_range)
+    b = jax.random.uniform(k2, (), minval=-rot_range, maxval=rot_range)
+    c = jax.random.uniform(k3, (), minval=-rot_range, maxval=rot_range)
+    s = jax.random.uniform(k4, (), minval=scale_range[0], maxval=scale_range[1])
+
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cc, sc = jnp.cos(c), jnp.sin(c)
+    rx = jnp.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+    ry = jnp.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+    rz = jnp.array([[cc, -sc, 0], [sc, cc, 0], [0, 0, 1]])
+    m = (rx @ ry @ rz) / s  # inverse-zoom: sample grid scaled by 1/s
+
+    C, D, H, W = image.shape
+    grids = jnp.meshgrid(jnp.arange(D, dtype=jnp.float32),
+                         jnp.arange(H, dtype=jnp.float32),
+                         jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    center = jnp.array([(D - 1) / 2, (H - 1) / 2, (W - 1) / 2])
+    g = jnp.stack(grids).reshape(3, -1) - center[:, None]
+    coords = (m @ g + center[:, None]).reshape(3, D, H, W)[None]
+
+    def resample(vol):  # [K, D, H, W] -> same
+        out = trilinear_sample(jnp.moveaxis(vol, 0, -1)[None], coords)[0]
+        return jnp.moveaxis(out, -1, 0)
+
+    do = jax.random.bernoulli(kp, prob)
+    img_out = jnp.where(do, resample(image), image)
+    lab_out = jnp.where(do, resample(label.astype(image.dtype)), label.astype(image.dtype))
+    return img_out, lab_out
+
+
+def nnunet_train_augment(key, image, label):
+    """moreDA-flavored stack: affine -> noise -> blur -> intensity scale ->
+    gamma -> flips. Per-sample [C,D,H,W]/[K,D,H,W]."""
+    ks = jax.random.split(key, 8)
+    image, label = rand_affine(ks[0], image, label)
+    image = rand_gaussian_noise(ks[1], image)
+    image = rand_gaussian_blur(ks[2], image)
+    image = rand_scale_intensity(ks[3], image, 0.25, prob=0.15)
+    image = rand_gamma(ks[4], image, invert_image=True, prob=0.1)
+    image = rand_gamma(ks[5], image, prob=0.3)
+    for i, axis in enumerate(range(3)):
+        image, label = rand_flip(ks[6 + i // 3], image, label, axis)
+    return image, label
