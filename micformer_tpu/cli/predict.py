@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--split", default="test", choices=["val", "test"])
     p.add_argument("--num_classes", type=int, default=8)
     p.add_argument("--target-shape", type=int, default=128)
+    p.add_argument("--native-geometry", action="store_true",
+                   help="resize predictions back to each case's stored crop "
+                        "geometry before export (generate_segmentations "
+                        "parity, reference utils.py:243-302)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -60,8 +64,7 @@ def main(argv=None):
     fold_params = []
     for rd in args.run_dirs:
         cm = CheckpointManager(rd)
-        restored = cm.restore(args.ckpt_tag, {"params": template, "epoch": 0})
-        fold_params.append(restored["params"])
+        fold_params.append(cm.restore_params_only(args.ckpt_tag))
 
     roi = (args.roi,) * 3
 
@@ -88,6 +91,13 @@ def main(argv=None):
         seg = np.asarray(jnp.argmax(probs, axis=1))[0].astype(np.uint8)
         if args.largest_cc:
             seg = remove_all_but_largest_cc(seg)
+        if args.native_geometry:
+            from micformer_tpu.data.nifti import read_nifti
+            from micformer_tpu.data.image_utils import resize_nearest
+
+            orig = read_nifti(ds.cases[i].ct, with_header=True)[1]
+            # header shape is NIfTI (x,y,z); arrays are (z,y,x)
+            seg = resize_nearest(seg, tuple(orig.shape[:3])[::-1]).astype(np.uint8)
         out_path = os.path.join(args.out, f"{s['patient_id']}_pred.nii.gz")
         write_nifti(out_path, seg)
         print(f"{s['patient_id']}: wrote {out_path}")

@@ -37,7 +37,14 @@ class CheckpointManager:
     def exists(self, tag: str) -> bool:
         return os.path.isdir(self._path(tag))
 
-    def restore_params_only(self, tag: str, params_template: Any) -> Any:
-        """reload_ckpt_bis-style weights-only reload (utils.py:125-138)."""
-        full = self.restore(tag, {"params": params_template})
+    def restore_any(self, tag: str) -> Any:
+        """Template-free restore: returns whatever tree the checkpoint holds
+        (arrays as committed). Used by inference-side loaders that don't know
+        the optimizer-state structure."""
+        return self._ckptr.restore(self._path(tag))
+
+    def restore_params_only(self, tag: str, params_template: Any = None) -> Any:
+        """reload_ckpt_bis-style weights-only reload (utils.py:125-138):
+        tolerant of checkpoints holding extra entries (opt_state, step)."""
+        full = self.restore_any(tag)
         return full["params"] if isinstance(full, dict) and "params" in full else full
