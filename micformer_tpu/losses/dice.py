@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def soft_dice_per_channel(logits: jnp.ndarray, targets: jnp.ndarray, smooth: float = 1.0):
@@ -110,3 +111,79 @@ def deep_supervision_loss(logits_pyramid, target_onehot, loss_fn=softmax_dice_ce
             t = target_onehot[sl]
         total = total + w[i] * loss_fn(lg, t)
     return total
+
+
+# --- extended nnU-Net loss zoo (capability parity with
+#     MedNeXt/nnunet_mednext/training/loss_functions/: GDL:26, TopKLoss,
+#     FocalLoss, MCCLoss:196, DC_and_topk_loss:475, DC_and_BCE_loss:430) -----
+
+def generalized_dice_loss(logits, target_onehot, smooth=1e-5,
+                          square_volumes=False):
+    """GDL (dice_loss.py:26): class weights = 1/volume^2, softmax probs."""
+    x = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    t = target_onehot.astype(jnp.float32)
+    axes = (0,) + tuple(range(2, logits.ndim))
+    vol = jnp.sum(t, axis=axes)
+    w = 1.0 / jnp.maximum(vol * vol, 1e-6)
+    inter = jnp.sum(x * t, axis=axes)
+    denom = jnp.sum(x, axis=axes) + jnp.sum(t, axis=axes)
+    if square_volumes:
+        denom = jnp.sum(x * x, axis=axes) + jnp.sum(t * t, axis=axes)
+    gdl = (2.0 * jnp.sum(w * inter) + smooth) / (jnp.sum(w * denom) + smooth)
+    return 1.0 - gdl
+
+
+def topk_ce_loss(logits, target_onehot, k_percent: float = 10.0):
+    """TopKLoss: mean of the k% highest per-voxel CE values."""
+    x = logits.astype(jnp.float32)
+    t = target_onehot.astype(jnp.float32)
+    ce = -jnp.sum(t * jax.nn.log_softmax(x, axis=1), axis=1)  # [B, ...]
+    flat = ce.reshape(-1)
+    k = max(1, int(flat.shape[0] * k_percent / 100.0))
+    topk = jax.lax.top_k(flat, k)[0]
+    return jnp.mean(topk)
+
+
+def focal_loss(logits, target_onehot, gamma: float = 2.0, alpha: float = 0.25):
+    """FocalLossV2 semantics on softmax probabilities."""
+    x = logits.astype(jnp.float32)
+    t = target_onehot.astype(jnp.float32)
+    logp = jax.nn.log_softmax(x, axis=1)
+    p = jnp.exp(logp)
+    focal = -alpha * (1 - p) ** gamma * logp
+    return jnp.mean(jnp.sum(t * focal, axis=1))
+
+
+def mcc_loss(logits, target_onehot, smooth: float = 1.0):
+    """MCCLoss (dice_loss.py:196): 1 - Matthews correlation, voxel-normalized."""
+    x = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    t = target_onehot.astype(jnp.float32)
+    axes = (0,) + tuple(range(2, logits.ndim))
+    n_vox = float(np.prod([logits.shape[a] for a in range(logits.ndim) if a != 1]))
+    tp = jnp.sum(x * t, axis=axes) / n_vox
+    fp = jnp.sum(x * (1 - t), axis=axes) / n_vox
+    fn = jnp.sum((1 - x) * t, axis=axes) / n_vox
+    tn = jnp.sum((1 - x) * (1 - t), axis=axes) / n_vox
+    num = tp * tn - fp * fn
+    den = jnp.sqrt(jnp.maximum((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn), 1e-12))
+    mcc = (num + smooth) / (den + smooth)
+    return 1.0 - jnp.mean(mcc)
+
+
+def dice_topk_loss(logits, target_onehot, k_percent: float = 10.0):
+    """DC_and_topk_loss (dice_loss.py:475): soft Dice + top-k CE."""
+    dice = softmax_dice_ce_loss(logits, target_onehot, ce_weight=0.0)
+    return dice + topk_ce_loss(logits, target_onehot, k_percent)
+
+
+def dice_bce_loss(logits, target_onehot):
+    """DC_and_BCE_loss (dice_loss.py:430): sigmoid Dice + BCE (region mode)."""
+    dice = jnp.mean(soft_dice_per_channel(logits, target_onehot))
+    bce = jnp.mean(bce_per_channel(logits, target_onehot))
+    return dice + bce
+
+
+def edice_loss(logits, region_targets):
+    """EDiceLoss (reference loss/dice.py:5-60): BraTS ET/TC/WT region loss —
+    per-region sigmoid soft Dice, mean over regions."""
+    return jnp.mean(soft_dice_per_channel(logits, region_targets))
