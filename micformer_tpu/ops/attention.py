@@ -21,9 +21,11 @@ import jax
 import jax.numpy as jnp
 
 # Auto-dispatch to the fused Pallas kernel (ops/pallas/window_attention.py)
-# for unbiased/unmasked tiny-window attention on TPU. Set False to force the
-# XLA einsum path (e.g. for numerics A/B tests).
-USE_FUSED = True
+# for unbiased/unmasked tiny-window attention on TPU. Set False (or env
+# MICFORMER_FUSED_ATTENTION=0) to force the XLA einsum path for A/B tests.
+import os as _os
+
+USE_FUSED = _os.environ.get("MICFORMER_FUSED_ATTENTION", "1") != "0"
 
 
 def multi_head_attention(
