@@ -36,8 +36,8 @@ def main():
     avail = registry.available()
     name = os.environ.get("MICFORMER_BENCH_MODEL",
                           "micformer" if "micformer" in avail else "unet3d")
-    dtype_name = os.environ.get("MICFORMER_BENCH_DTYPE", "float32")
-    sw_batch = int(os.environ.get("MICFORMER_BENCH_SWBATCH", "2"))
+    dtype_name = os.environ.get("MICFORMER_BENCH_DTYPE", "bfloat16")
+    sw_batch = int(os.environ.get("MICFORMER_BENCH_SWBATCH", "4"))
     kw = dict(num_classes=8)
     if dtype_name == "bfloat16":
         kw["dtype"] = jnp.bfloat16
