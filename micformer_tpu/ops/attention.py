@@ -20,12 +20,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Auto-dispatch to the fused Pallas kernel (ops/pallas/window_attention.py)
-# for unbiased/unmasked tiny-window attention on TPU. Set False (or env
-# MICFORMER_FUSED_ATTENTION=0) to force the XLA einsum path for A/B tests.
+# Optional dispatch to the fused Pallas kernel (ops/pallas/window_attention.py)
+# for unbiased/unmasked tiny-window attention on TPU. OFF by default: the A/B
+# sliding-window bench measured the XLA batched-einsum path ~8% FASTER end to
+# end (2.16 vs 2.00 vol/s, micformer bf16 sw4) — the kernel's G-window MXU
+# packing wastes a factor-G of FLOPs on cross-window products, and XLA already
+# batches the tiny matmuls well. Kept as an opt-in (MICFORMER_FUSED_ATTENTION=1)
+# experiment; a batched-dot Mosaic variant is the round-2 follow-up.
 import os as _os
 
-USE_FUSED = _os.environ.get("MICFORMER_FUSED_ATTENTION", "1") != "0"
+USE_FUSED = _os.environ.get("MICFORMER_FUSED_ATTENTION", "0") == "1"
 
 
 def multi_head_attention(
