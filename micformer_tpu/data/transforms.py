@@ -193,3 +193,38 @@ def nnunet_train_augment(key, image, label):
     for i, axis in enumerate(range(3)):
         image, label = rand_flip(ks[6 + i // 3], image, label, axis)
     return image, label
+
+
+def rand_elastic(key, image, label, alpha=(0.0, 200.0), sigma=(9.0, 13.0),
+                 prob: float = 0.2):
+    """Elastic deformation (batchgenerators SpatialTransform's elastic core):
+    smooth random displacement field = gaussian-filtered noise * alpha, applied
+    with trilinear resampling. image [C,D,H,W], label one-hot [K,D,H,W]."""
+    from micformer_tpu.ops.warp import trilinear_sample
+
+    ka, ks, kn, kp = jax.random.split(key, 4)
+    a = jax.random.uniform(ka, (), minval=alpha[0], maxval=alpha[1])
+    s = jax.random.uniform(ks, (), minval=sigma[0], maxval=sigma[1])
+
+    C, D, H, W = image.shape
+    noise = jax.random.uniform(kn, (3, D, H, W), minval=-1.0, maxval=1.0)
+    # separable gaussian smoothing of the displacement field
+    field = noise
+    for ax in (-3, -2, -1):
+        field = _gaussian_blur_1d(field, s / 3.0, ax, radius=4)
+    field = field * a
+
+    grids = jnp.meshgrid(jnp.arange(D, dtype=jnp.float32),
+                         jnp.arange(H, dtype=jnp.float32),
+                         jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    coords = (jnp.stack(grids) + field)[None]
+
+    def resample(vol):
+        out = trilinear_sample(jnp.moveaxis(vol, 0, -1)[None], coords)[0]
+        return jnp.moveaxis(out, -1, 0)
+
+    do = jax.random.bernoulli(kp, prob)
+    img_out = jnp.where(do, resample(image), image)
+    lab_out = jnp.where(do, resample(label.astype(image.dtype)),
+                        label.astype(image.dtype))
+    return img_out, lab_out

@@ -63,6 +63,12 @@ class TrainConfig:
     nan_guard: bool = True
     max_consecutive_nan: int = 50
     run_dir: str = "runs/default"
+    # early stopping (nnU-Net manage_patience parity, network_trainer.py:557-607):
+    # stop when the smoothed val metric hasn't improved by min_delta within
+    # `patience` validations; None disables (the MM-WHS harness never stops early).
+    patience: int | None = None
+    patience_min_delta: float = 5e-4
+    val_metric_alpha: float = 0.9  # nnU-Net's EMA of the val metric
 
 
 class TrainState(struct.PyTreeNode):
@@ -217,6 +223,7 @@ class Trainer:
         rng = jax.random.key(cfg.seed + 1)
         best_dice, best_loss = -1.0, float("inf")
         nan_streak = 0
+        ema_metric, best_ema, vals_since_improvement = None, -float("inf"), 0
         for epoch in range(start_epoch, cfg.epochs):
             tmeter = AverageMeter("Time", ":4.3f")
             dmeter = AverageMeter("Data", ":4.3f")
@@ -264,7 +271,60 @@ class Trainer:
                 if vm["val_loss"] < best_loss:
                     best_loss = vm["val_loss"]
                     self.ckpt.save("best_loss", payload)
+                if cfg.patience is not None and np.isfinite(vm["meandice"]):
+                    a = cfg.val_metric_alpha
+                    ema_metric = (vm["meandice"] if ema_metric is None
+                                  else a * ema_metric + (1 - a) * vm["meandice"])
+                    if ema_metric > best_ema + cfg.patience_min_delta:
+                        best_ema = ema_metric
+                        vals_since_improvement = 0
+                    else:
+                        vals_since_improvement += 1
+                    if vals_since_improvement >= cfg.patience:
+                        print(f"early stop at epoch {epoch}: no val improvement "
+                              f"in {cfg.patience} validations")
+                        return state
         return state
+
+    def find_lr(self, train_loader, num_iters: int = 100, init_lr: float = 1e-6,
+                final_lr: float = 1.0):
+        """LR range test (nnU-Net network_trainer.py:691-741 find_lr parity):
+        exponential lr sweep with smoothed-loss recording; returns
+        (lrs, losses) for plotting/inspection and writes them to the log."""
+        mult = (final_lr / init_lr) ** (1 / max(num_iters - 1, 1))
+        sched = lambda step: init_lr * mult ** step
+        tx = optax.sgd(sched, momentum=0.9)
+        sample = train_loader.peek_shape()
+        state = self.init_state(sample)
+        state = TrainState(step=state.step, params=state.params,
+                           opt_state=tx.init(state.params), tx=tx)
+        step_fn = jax.jit(lambda s, x, y, r: self._raw_train_step(s, x, y, r))
+
+        rng = jax.random.key(self.cfg.seed)
+        lrs, losses, avg = [], [], 0.0
+        it = 0
+        while it < num_iters:
+            for images, labels, _ in train_loader:
+                if it >= num_iters:
+                    break
+                rng, k = jax.random.split(rng)
+                state, metrics = step_fn(state, images, labels, k)
+                loss = float(metrics["loss"])
+                avg = 0.98 * avg + 0.02 * loss if it else loss
+                lrs.append(float(sched(it)))
+                losses.append(avg / (1 - 0.98 ** (it + 1)))
+                it += 1
+        self._log({"find_lr": {"lrs": lrs, "losses": losses}})
+        return lrs, losses
+
+    def _raw_train_step(self, state, images, labels, rng):
+        def loss_fn(params):
+            logits = self.model.apply({"params": params}, images,
+                                      deterministic=False, rngs={"dropout": rng})
+            return self._loss(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
 
     def validate(self, state: TrainState, val_loader) -> dict:
         losses, dices, per_class = [], [], []
