@@ -20,7 +20,7 @@ TPU-first redesign vs the reference:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from glob import glob
 from pathlib import Path
 

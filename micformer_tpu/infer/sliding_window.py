@@ -20,7 +20,7 @@ hard-part 3). Mirror TTA folds the 8 flips into one batched predictor call.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 import jax

@@ -17,8 +17,6 @@ functionally replace (studied, not translated):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -40,12 +40,10 @@ from micformer_tpu.models.layers import (
     pad_to_multiple,
     to_channels_last,
     to_channels_first,
-    zero_dilate,
 )
 from micformer_tpu.ops.windows import (
     window_partition,
     window_reverse,
-    shifted_window_mask,
     relative_position_index,
     adjust_window_shift,
 )

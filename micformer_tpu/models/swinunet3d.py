@@ -28,9 +28,7 @@ import flax.linen as nn
 
 from micformer_tpu.models.layers import (
     SwinBlock3D,
-    InstanceNorm,
     PReLU,
-    zero_dilate,
     to_channels_last,
     to_channels_first,
 )

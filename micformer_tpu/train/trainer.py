@@ -21,9 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import time
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 import jax
