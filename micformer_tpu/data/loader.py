@@ -17,9 +17,22 @@ import jax
 import numpy as np
 
 
-def _stack_batch(samples):
-    images = np.stack([np.asarray(s["image"], dtype=np.float32) for s in samples])
-    labels = np.stack([np.asarray(s["label"], dtype=np.float32) for s in samples])
+def _stack_batch(samples, compact=True):
+    """Assemble a host batch. compact=True minimizes H2D bytes (the hot-path
+    design rule: the reference ships f16 images itself, MMWHS.py:386):
+    images as float16, one-hot labels collapsed to uint8 class indices —
+    ~10x less transfer than f32 one-hot; the train/eval steps one-hot and
+    upcast ON DEVICE."""
+    if compact:
+        images = np.stack([np.asarray(s["image"], dtype=np.float16) for s in samples])
+        labs = []
+        for s in samples:
+            lab = np.asarray(s["label"])
+            labs.append(np.argmax(lab, axis=0).astype(np.uint8) if lab.ndim == 4 else lab.astype(np.uint8))
+        labels = np.stack(labs)
+    else:
+        images = np.stack([np.asarray(s["image"], dtype=np.float32) for s in samples])
+        labels = np.stack([np.asarray(s["label"], dtype=np.float32) for s in samples])
     meta = {
         "patient_id": [s["patient_id"] for s in samples],
         "crop_indexes": [s.get("crop_indexes") for s in samples],
@@ -46,6 +59,7 @@ class DataLoader:
         sharding=None,
         prefetch=2,
         device_put=True,
+        compact=True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,6 +68,7 @@ class DataLoader:
         self.sharding = sharding
         self.prefetch = max(1, prefetch)
         self.device_put = device_put
+        self.compact = compact
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -82,7 +97,7 @@ class DataLoader:
     def _produce(self, out_q: queue.Queue):
         try:
             for chunk in self._index_batches():
-                images, labels, meta = _stack_batch([self.dataset[int(j)] for j in chunk])
+                images, labels, meta = _stack_batch([self.dataset[int(j)] for j in chunk], self.compact)
                 if self.device_put:
                     if self.sharding is not None:
                         images = jax.device_put(images, self.sharding)

@@ -152,7 +152,18 @@ class Trainer:
     def _build_steps(self):
         model, cfg = self.model, self.cfg
 
+        def prep(images, labels):
+            # compact-transfer batches: f16 images upcast and uint8 class-index
+            # labels one-hot ON DEVICE (minimize H2D bytes — the loader ships
+            # ~10x less than f32 one-hot)
+            images = images.astype(jnp.float32)
+            if labels.ndim == images.ndim - 1:
+                labels = jax.nn.one_hot(labels, cfg.num_classes, axis=1,
+                                        dtype=jnp.float32)
+            return images, labels
+
         def train_step(state: TrainState, images, labels, rng):
+            images, labels = prep(images, labels)
             def loss_fn(params):
                 logits = model.apply({"params": params}, images,
                                      deterministic=False, rngs={"dropout": rng})
@@ -170,6 +181,7 @@ class Trainer:
             return state.apply_gradients(grads), {"loss": loss, "skipped": jnp.zeros((), bool)}
 
         def eval_step(state: TrainState, images, labels):
+            images, labels = prep(images, labels)
             logits = model.apply({"params": state.params}, images)
             if isinstance(logits, (list, tuple)):
                 logits = logits[0]
