@@ -57,6 +57,8 @@ def main(argv=None):
         optimizer=cfg.train.optimizer,
         deep_supervision=cfg.train.deep_supervision,
         grad_clip_norm=cfg.train.grad_clip_norm,
+        loss=getattr(cfg.train, "extra_loss", "mdice"),
+        patience=getattr(cfg.train, "patience", None),
         run_dir=cfg.train.run_dir,
     )
     trainer = Trainer(model, tcfg)

@@ -51,6 +51,8 @@ class TrainerConfig:
     grad_clip_norm: float | None = None
     run_dir: str = "runs/run"
     bf16: bool = False
+    extra_loss: str = "mdice"
+    patience: int | None = None
 
 
 @dataclass
@@ -127,6 +129,17 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
     p.add_argument("--target-shape", type=int, default=None,
                    help="cubic target shape override (e.g. 32 for smoke runs)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--optimizer", default=d.train.optimizer,
+                   choices=["adam", "adamw", "sgd_nesterov"])
+    p.add_argument("--loss", default="mdice", choices=["mdice", "dice_ce"])
+    p.add_argument("--scheduler", default=d.train.scheduler,
+                   choices=["cosine", "poly", "constant"])
+    p.add_argument("--deep-supervision", action="store_true")
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop after N non-improving validations")
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--single-modal", action="store_true",
+                   help="CT-only ablation (SingleModal_nnformer parity)")
     p.add_argument("--throughput", action="store_true",
                    help="benchmark mode: time steps/sec, no checkpoints "
                         "(the flag the reference parsed but never implemented)")
@@ -150,6 +163,13 @@ def config_from_args(args) -> Config:
     cfg.train.resume = args.resume
     cfg.train.run_dir = args.run_dir
     cfg.train.bf16 = args.bf16
+    cfg.train.optimizer = args.optimizer
+    cfg.train.scheduler = args.scheduler
+    cfg.train.deep_supervision = args.deep_supervision
+    cfg.train.grad_clip_norm = args.grad_clip
+    cfg.data.single_modal = args.single_modal
+    cfg.train.extra_loss = args.loss
+    cfg.train.patience = args.patience
     if args.target_shape:
         cfg.data.target_shape = (args.target_shape,) * 3
         cfg.infer.roi = cfg.data.target_shape
