@@ -149,18 +149,19 @@ class Trainer:
             return softmax_dice_ce_loss(logits, labels)
         return mdice_loss(logits, labels)
 
+    def _prep_batch(self, images, labels):
+        """Compact-transfer batches: f16 images upcast and uint8 class-index
+        labels one-hot ON DEVICE (minimize H2D bytes — the loader ships ~10x
+        less than f32 one-hot)."""
+        images = images.astype(jnp.float32)
+        if labels.ndim == images.ndim - 1:
+            labels = jax.nn.one_hot(labels, self.cfg.num_classes, axis=1,
+                                    dtype=jnp.float32)
+        return images, labels
+
     def _build_steps(self):
         model, cfg = self.model, self.cfg
-
-        def prep(images, labels):
-            # compact-transfer batches: f16 images upcast and uint8 class-index
-            # labels one-hot ON DEVICE (minimize H2D bytes — the loader ships
-            # ~10x less than f32 one-hot)
-            images = images.astype(jnp.float32)
-            if labels.ndim == images.ndim - 1:
-                labels = jax.nn.one_hot(labels, cfg.num_classes, axis=1,
-                                        dtype=jnp.float32)
-            return images, labels
+        prep = self._prep_batch
 
         def train_step(state: TrainState, images, labels, rng):
             images, labels = prep(images, labels)
@@ -328,6 +329,8 @@ class Trainer:
         return lrs, losses
 
     def _raw_train_step(self, state, images, labels, rng):
+        images, labels = self._prep_batch(images, labels)
+
         def loss_fn(params):
             logits = self.model.apply({"params": params}, images,
                                       deterministic=False, rngs={"dropout": rng})

@@ -18,7 +18,9 @@ ZOO = [
     ("unet3d", dict(), (1, 2, 32, 32, 32)),
     ("mednext", dict(), (1, 2, 16, 16, 16)),
     ("swinunet3d", dict(hidden_dim=24, head_dim=8, window_size=2), (1, 2, 32, 32, 32)),
-    ("vtunet", dict(embed_dim=24, window_size=(2, 2, 2)), (1, 2, 16, 16, 16)),
+    # 32^3 floor: at 16^3 the 3rd merge pads 1^3->2^3 and the decoder
+    # skip shapes diverge (the reference is likewise undefined below 32^3)
+    ("vtunet", dict(embed_dim=24, window_size=(2, 2, 2)), (1, 2, 32, 32, 32)),
     ("nnformer", dict(embed_dim=24, window_sizes=(2, 2, 2, 2)), (1, 2, 32, 32, 32)),
     ("swinunetr", dict(feature_size=4, num_heads=(1, 2, 4, 8), window_size=(2, 2, 2)), (1, 2, 32, 32, 32)),
     ("transbts", dict(base_channels=4, embedding_dim=64, hidden_dim=128, num_layers=2),
