@@ -85,24 +85,42 @@ class TrainState(struct.PyTreeNode):
 
 
 def _make_tx(cfg: TrainConfig):
+    # Schedules are normalized (base 1.0) and multiplied by a runtime base-lr
+    # held in the optimizer's hyperparams state (inject_hyperparams): changing
+    # cfg.lr (or resuming with a different lr) does NOT change the compiled
+    # train-step HLO — one executable serves all lr values. The first full-size
+    # compile costs tens of minutes through this stack (benchmarks/RESULTS.md),
+    # so recompiling per hyperparameter tweak is unacceptable.
     if cfg.scheduler == "cosine":
-        sched = cosine_annealing(cfg.lr, cfg.epochs, steps_per_epoch=cfg.steps_per_epoch,
-                                 per_batch=cfg.scheduler_per_batch)
+        unit_sched = cosine_annealing(1.0, cfg.epochs, steps_per_epoch=cfg.steps_per_epoch,
+                                      per_batch=cfg.scheduler_per_batch)
     elif cfg.scheduler == "poly":
-        sched = poly_lr(cfg.lr, cfg.epochs * cfg.steps_per_epoch)
+        unit_sched = poly_lr(1.0, cfg.epochs * cfg.steps_per_epoch)
     else:
-        sched = cfg.lr
-    if cfg.optimizer == "adam":
-        tx = optax.adam(sched) if cfg.weight_decay == 0 else optax.adamw(sched, weight_decay=cfg.weight_decay)
-    elif cfg.optimizer == "adamw":
-        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
-    elif cfg.optimizer == "sgd_nesterov":
-        tx = optax.sgd(sched, momentum=0.99, nesterov=True)
-    else:
-        raise ValueError(cfg.optimizer)
+        unit_sched = lambda step: 1.0
+
+    def make(learning_rate):
+        if cfg.optimizer == "adam":
+            base = (optax.adam(learning_rate) if cfg.weight_decay == 0
+                    else optax.adamw(learning_rate, weight_decay=cfg.weight_decay))
+        elif cfg.optimizer == "adamw":
+            base = optax.adamw(learning_rate, weight_decay=cfg.weight_decay)
+        elif cfg.optimizer == "sgd_nesterov":
+            base = optax.sgd(learning_rate, momentum=0.99, nesterov=True)
+        else:
+            raise ValueError(cfg.optimizer)
+        return base
+
+    # order matters: the optimizer first (it normalizes gradient scale), THEN
+    # the schedule multiplier — scaling before Adam would be cancelled by its
+    # second-moment normalization.
+    tx = optax.chain(
+        optax.inject_hyperparams(make)(learning_rate=cfg.lr),
+        optax.scale_by_schedule(lambda step: unit_sched(step)),
+    )
     if cfg.grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
-    return tx, (sched if callable(sched) else (lambda s: cfg.lr))
+    return tx, (lambda s: cfg.lr * float(unit_sched(s)))
 
 
 class Trainer:
