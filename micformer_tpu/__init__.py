@@ -13,3 +13,5 @@ port — architecture and kernels are designed for the TPU compilation model.
 __version__ = "0.1.0"
 
 from micformer_tpu import registry  # noqa: F401
+
+build_model = registry.build  # convenience: micformer_tpu.build_model("micformer")

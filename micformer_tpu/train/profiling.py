@@ -64,3 +64,13 @@ def time_fn(fn, *args, warmup: int = 1, reps: int = 10):
         ts.append(time.perf_counter() - t0)
     ts = np.asarray(ts)
     return float(ts.mean()), float(np.percentile(ts, 50))
+
+
+def enable_nan_debugging(enable: bool = True):
+    """Turn on JAX's NaN checker (jax_debug_nans): any op producing NaN raises
+    with the offending primitive — the deterministic-functional counterpart of
+    the reference's cudnn-determinism knobs + print-only NaN check (SURVEY §5
+    race-detection row). Expensive; use for debugging runs only."""
+    import jax
+
+    jax.config.update("jax_debug_nans", enable)
