@@ -39,7 +39,13 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    model_kwargs = dict(num_classes=cfg.model.num_classes, **cfg.model.extra)
+    # model.extra passes arbitrary factory kwargs; yaml lists become tuples
+    # (flax static fields / lru_cache'd window sizes need hashables)
+    extra = {k: tuple(v) if isinstance(v, list) else v
+             for k, v in cfg.model.extra.items()}
+    model_kwargs = dict(num_classes=cfg.model.num_classes, **extra)
+    if cfg.model.name == "micformer" and "embed_dim" not in model_kwargs:
+        model_kwargs["embed_dim"] = cfg.model.embed_dim
     if cfg.train.bf16:
         model_kwargs["dtype"] = jnp.bfloat16
     model = registry.build(cfg.model.name, **model_kwargs)
