@@ -302,13 +302,16 @@ class InstanceNorm(nn.Module):
 
 
 class PReLU(nn.Module):
-    """Parametric ReLU with a single shared slope (torch PReLU default)."""
+    """Parametric ReLU with a single shared slope (torch PReLU default).
 
-    init: float = 0.25
+    NB: the slope field must not be named `init` — that would shadow
+    flax's Module.init (caught by tests/test_layer_parity.py)."""
+
+    neg_slope: float = 0.25
 
     @nn.compact
     def __call__(self, x):
-        a = self.param("alpha", nn.initializers.constant(self.init), (1,))
+        a = self.param("alpha", nn.initializers.constant(self.neg_slope), (1,))
         return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 

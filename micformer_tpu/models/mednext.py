@@ -47,7 +47,10 @@ class MedNeXtBlock(nn.Module):
             # torch: depthwise ConvTranspose3d(k, s2, pad=k//2) then
             # F.pad (1,0,1,0,1,0) -> exactly 2x extent. Equivalent form (for a
             # learned kernel): zero-dilate then depthwise conv with asymmetric
-            # padding (k//2+1 leading, k//2 trailing).
+            # padding (k//2+1 leading, k//2 trailing). One documented
+            # difference (tests/test_layer_parity.py): the reference's F.pad
+            # makes the leading plane a literal zero; this form computes a
+            # real windowed value there instead of a dead border.
             p = self.kernel // 2
             h = zero_dilate(x)
             h = nn.Conv(C, k, padding=[(p + 1, p)] * 3, feature_group_count=C,
