@@ -24,7 +24,7 @@ import flax.linen as nn
 from micformer_tpu.ops.windows import (
     window_partition,
     window_reverse,
-    shifted_window_mask,
+    shifted_window_region_ids,
     relative_position_index,
     adjust_window_shift,
     cyclic_shift,
@@ -163,7 +163,7 @@ class SwinBlock3D(nn.Module):
         _, Dp, Hp, Wp, _ = x.shape
 
         x = cyclic_shift(x, ss)
-        mask = shifted_window_mask((Dp, Hp, Wp), ws, ss)
+        mask = shifted_window_region_ids((Dp, Hp, Wp), ws, ss)
         wins = window_partition(x, ws)
         attn = WindowAttention3D(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,

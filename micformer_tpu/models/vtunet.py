@@ -52,7 +52,7 @@ from micformer_tpu.models.layers import (
 from micformer_tpu.ops.windows import (
     window_partition,
     window_reverse,
-    shifted_window_mask,
+    shifted_window_region_ids,
     relative_position_index,
     adjust_window_shift,
     cyclic_shift,
@@ -122,7 +122,7 @@ class VTBlock(nn.Module):
         xn = pad_to_multiple(xn, ws)
         _, Dp, Hp, Wp, _ = xn.shape
         xn = cyclic_shift(xn, ss)
-        mask = shifted_window_mask((Dp, Hp, Wp), ws, ss)
+        mask = shifted_window_region_ids((Dp, Hp, Wp), ws, ss)
         wins = window_partition(xn, ws)
 
         attn, attn2, v, k, q = VTWindowAttention(

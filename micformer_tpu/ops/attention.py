@@ -72,7 +72,14 @@ def multi_head_attention(
     if mask is not None:
         nW = mask.shape[0]
         attn = attn.reshape(N // nW, nW, h, Tq, -1)
-        attn = attn + mask.astype(jnp.float32)[None, :, None]
+        if mask.ndim == 2:
+            # compact region-id form [nW, T] (see windows.shifted_window_region_ids):
+            # pairwise -100 mask built in-graph, fuses into the softmax
+            ids = jnp.asarray(mask)
+            pair = jnp.where(ids[:, :, None] == ids[:, None, :], 0.0, -100.0)
+            attn = attn + pair[None, :, None]
+        else:
+            attn = attn + jnp.asarray(mask).astype(jnp.float32)[None, :, None]
         attn = attn.reshape(N, h, Tq, -1)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn.astype(v.dtype), v)

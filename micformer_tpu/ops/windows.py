@@ -94,6 +94,32 @@ def shifted_window_mask(dims, window_size, shift_size) -> np.ndarray | None:
 
 
 @functools.lru_cache(maxsize=None)
+def shifted_window_region_ids(dims, window_size, shift_size) -> np.ndarray | None:
+    """Compact form of the shifted-window mask: int32 [nWindows, T] region ids.
+
+    The pairwise [nW, T, T] mask is O(nW·T²) — embedding it as an HLO literal
+    blows up compile payloads (470 MB for SwinUNETR's window-7 64³ stage, which
+    exceeded the remote-compile request limit). Region ids are O(nW·T); the
+    pairwise comparison is built in-graph by the attention core and fuses into
+    the softmax. Returns None when no axis is shifted."""
+    full = shifted_window_mask(dims, window_size, shift_size)
+    if full is None:
+        return None
+    D, H, W = dims
+    wd, wh, ww = window_size
+    sd, sh, sw = shift_size
+    img_mask = np.zeros((D, H, W), np.int32)
+    cnt = 0
+    for d in (slice(0, -wd), slice(-wd, -sd if sd else None), slice(-sd, None) if sd else slice(0, 0)):
+        for h in (slice(0, -wh), slice(-wh, -sh if sh else None), slice(-sh, None) if sh else slice(0, 0)):
+            for w in (slice(0, -ww), slice(-ww, -sw if sw else None), slice(-sw, None) if sw else slice(0, 0)):
+                img_mask[d, h, w] = cnt
+                cnt += 1
+    m = img_mask.reshape(D // wd, wd, H // wh, wh, W // ww, ww)
+    return m.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+
+
+@functools.lru_cache(maxsize=None)
 def relative_position_index(window_size) -> np.ndarray:
     """[T, T] int32 index into a ((2wd-1)(2wh-1)(2ww-1),) bias table.
 
