@@ -33,8 +33,37 @@ def main(argv=None):
         normalisation=cfg.data.normalisation,
         single_modal=cfg.data.single_modal,
     )
+
+    # nnU-Net fg-oversampled patch training (dataset_loading.py:158)
+    if cfg.train.oversample_fg:
+        from micformer_tpu.data.patch_sampler import OversampledPatchDataset
+
+        train_ds = OversampledPatchDataset(
+            train_ds,
+            patch_size=tuple(cfg.data.target_shape),
+            batch_size=cfg.train.batch_size,
+            oversample_foreground_percent=float(cfg.train.oversample_fg),
+            num_classes=cfg.model.num_classes,
+            seed=cfg.train.seed,
+        )
+
+    # DDP-equivalent data parallelism: '--mesh data=N' shards the batch over
+    # the mesh 'data' axis; XLA inserts the gradient psum over ICI
+    mesh, batch_sharding = None, None
+    if cfg.train.mesh:
+        from micformer_tpu.parallel import make_mesh, data_parallel_shardings
+
+        spec = dict(kv.split("=") for kv in str(cfg.train.mesh).split(","))
+        mesh = make_mesh(**{k: int(v) for k, v in spec.items()})
+        batch_sharding, _ = data_parallel_shardings(mesh)
+        if cfg.train.batch_size % mesh.shape["data"] != 0:
+            raise SystemExit(
+                f"--batch-size {cfg.train.batch_size} not divisible by "
+                f"mesh data={mesh.shape['data']}")
+
     train_loader = DataLoader(train_ds, batch_size=cfg.train.batch_size,
-                              shuffle=True, seed=cfg.train.seed)
+                              shuffle=True, seed=cfg.train.seed,
+                              sharding=batch_sharding)
     val_loader = DataLoader(val_ds, batch_size=1)
 
     import jax.numpy as jnp
@@ -66,8 +95,12 @@ def main(argv=None):
         loss=getattr(cfg.train, "extra_loss", "mdice"),
         patience=getattr(cfg.train, "patience", None),
         run_dir=cfg.train.run_dir,
+        augment=cfg.train.augment,
+        roi=tuple(cfg.infer.roi),
+        sw_overlap=cfg.infer.overlap,
+        sw_batch_size=cfg.infer.sw_batch_size,
     )
-    trainer = Trainer(model, tcfg)
+    trainer = Trainer(model, tcfg, mesh=mesh)
 
     if args.throughput:
         _throughput(trainer, train_loader)

@@ -53,6 +53,13 @@ class TrainerConfig:
     bf16: bool = False
     extra_loss: str = "mdice"
     patience: int | None = None
+    # train-time transform stack: "monai" = reference protocol
+    # (train_mmwhs_noPad.py:116-130), "nnunet" = moreDA-style, "none" = raw
+    augment: str = "monai"
+    # device mesh spec, e.g. "data=8" — DDP-equivalent pjit data parallelism
+    mesh: str | None = None
+    # nnU-Net fg-oversampled patch training (dataset_loading.py:158)
+    oversample_fg: float | None = None
 
 
 @dataclass
@@ -108,69 +115,104 @@ def save_config(cfg: Config, path: str):
 
 
 def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
-    """Reference-parity CLI flags (train_mmwhs_noPad.py:32-66)."""
+    """Reference-parity CLI flags (train_mmwhs_noPad.py:32-66).
+
+    Every flag defaults to None so config_from_args can tell "explicitly
+    passed" from "absent" and only explicit flags override YAML values
+    (a default-valued flag used to silently clobber the --cfg preset).
+    """
     d = defaults or Config()
     p = argparse.ArgumentParser("micformer_tpu")
-    p.add_argument("--data", default=d.data.data_root, help="MM-WHS crop root")
-    p.add_argument("--cache", default=d.data.cache_dir)
-    p.add_argument("--model", default=d.model.name)
-    p.add_argument("--epochs", type=int, default=d.train.epochs)
-    p.add_argument("--batch-size", type=int, default=d.train.batch_size)
-    p.add_argument("--lr", type=float, default=d.train.lr)
-    p.add_argument("--wd", type=float, default=d.train.weight_decay)
-    p.add_argument("--val", type=int, default=d.train.val_every, help="val every N epochs")
-    p.add_argument("--fold", type=int, default=d.data.fold)
-    p.add_argument("--num_classes", type=int, default=d.model.num_classes)
-    p.add_argument("--seed", type=int, default=d.train.seed)
+    p.add_argument("--data", default=None, help="MM-WHS crop root")
+    p.add_argument("--cache", default=None)
+    p.add_argument("--model", default=None, help=f"model family (default {d.model.name})")
+    p.add_argument("--epochs", type=int, default=None,
+                   help=f"default {d.train.epochs}")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help=f"default {d.train.batch_size}")
+    p.add_argument("--lr", type=float, default=None, help=f"default {d.train.lr}")
+    p.add_argument("--wd", type=float, default=None,
+                   help=f"weight decay (default {d.train.weight_decay})")
+    p.add_argument("--val", type=int, default=None,
+                   help=f"val every N epochs (default {d.train.val_every})")
+    p.add_argument("--fold", type=int, default=None, help=f"default {d.data.fold}")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help=f"default {d.model.num_classes}")
+    p.add_argument("--seed", type=int, default=None, help=f"default {d.train.seed}")
     p.add_argument("--cfg", default=None, help="yaml config file")
-    p.add_argument("--resume", action="store_true")
-    p.add_argument("--workers", type=int, default=d.data.workers)
-    p.add_argument("--run-dir", default=d.train.run_dir)
+    p.add_argument("--resume", action="store_true", default=None)
+    p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--run-dir", default=None, help=f"default {d.train.run_dir}")
     p.add_argument("--target-shape", type=int, default=None,
                    help="cubic target shape override (e.g. 32 for smoke runs)")
-    p.add_argument("--bf16", action="store_true")
-    p.add_argument("--optimizer", default=d.train.optimizer,
+    p.add_argument("--bf16", action="store_true", default=None)
+    p.add_argument("--optimizer", default=None,
                    choices=["adam", "adamw", "sgd_nesterov"])
-    p.add_argument("--loss", default="mdice", choices=["mdice", "dice_ce"])
-    p.add_argument("--scheduler", default=d.train.scheduler,
+    p.add_argument("--loss", default=None,
+                   choices=["mdice", "dice_ce", "gdl", "topk", "focal",
+                            "mcc", "dice_topk", "dice_bce"])
+    p.add_argument("--scheduler", default=None,
                    choices=["cosine", "poly", "constant"])
-    p.add_argument("--deep-supervision", action="store_true")
+    p.add_argument("--augment", default=None, choices=["monai", "nnunet", "none"],
+                   help="train-time transform stack (reference default: monai, "
+                        "train_mmwhs_noPad.py:116-130)")
+    p.add_argument("--deep-supervision", action="store_true", default=None)
     p.add_argument("--patience", type=int, default=None,
                    help="early-stop after N non-improving validations")
     p.add_argument("--grad-clip", type=float, default=None)
-    p.add_argument("--single-modal", action="store_true",
+    p.add_argument("--single-modal", action="store_true", default=None,
                    help="CT-only ablation (SingleModal_nnformer parity)")
-    p.add_argument("--throughput", action="store_true",
+    p.add_argument("--mesh", default=None,
+                   help="device mesh spec, e.g. 'data=8' (DDP-equivalent "
+                        "pjit data parallelism over ICI)")
+    p.add_argument("--oversample-fg", type=float, default=None,
+                   help="nnU-Net patch training: fraction of patches forced "
+                        "to contain foreground (dataset_loading.py:158; 0.33 "
+                        "is the nnU-Net default)")
+    p.add_argument("--throughput", action="store_true", default=None,
                    help="benchmark mode: time steps/sec, no checkpoints "
                         "(the flag the reference parsed but never implemented)")
     return p
 
 
+# (args attribute) -> (config section, field); applied only when the flag
+# was explicitly passed (non-None), so YAML presets survive the merge.
+_ARG_MAP = {
+    "data": ("data", "data_root"),
+    "cache": ("data", "cache_dir"),
+    "fold": ("data", "fold"),
+    "workers": ("data", "workers"),
+    "single_modal": ("data", "single_modal"),
+    "model": ("model", "name"),
+    "num_classes": ("model", "num_classes"),
+    "epochs": ("train", "epochs"),
+    "batch_size": ("train", "batch_size"),
+    "lr": ("train", "lr"),
+    "wd": ("train", "weight_decay"),
+    "val": ("train", "val_every"),
+    "seed": ("train", "seed"),
+    "resume": ("train", "resume"),
+    "run_dir": ("train", "run_dir"),
+    "bf16": ("train", "bf16"),
+    "optimizer": ("train", "optimizer"),
+    "scheduler": ("train", "scheduler"),
+    "augment": ("train", "augment"),
+    "deep_supervision": ("train", "deep_supervision"),
+    "grad_clip": ("train", "grad_clip_norm"),
+    "loss": ("train", "extra_loss"),
+    "patience": ("train", "patience"),
+    "mesh": ("train", "mesh"),
+    "oversample_fg": ("train", "oversample_fg"),
+}
+
+
 def config_from_args(args) -> Config:
     cfg = load_config(args.cfg)
-    cfg.data.data_root = args.data or cfg.data.data_root
-    cfg.data.cache_dir = args.cache or cfg.data.cache_dir
-    cfg.data.fold = args.fold
-    cfg.data.workers = args.workers
-    cfg.model.name = args.model
-    cfg.model.num_classes = args.num_classes
-    cfg.train.epochs = args.epochs
-    cfg.train.batch_size = args.batch_size
-    cfg.train.lr = args.lr
-    cfg.train.weight_decay = args.wd
-    cfg.train.val_every = args.val
-    cfg.train.seed = args.seed
-    cfg.train.resume = args.resume
-    cfg.train.run_dir = args.run_dir
-    cfg.train.bf16 = args.bf16
-    cfg.train.optimizer = args.optimizer
-    cfg.train.scheduler = args.scheduler
-    cfg.train.deep_supervision = args.deep_supervision
-    cfg.train.grad_clip_norm = args.grad_clip
-    cfg.data.single_modal = args.single_modal
-    cfg.train.extra_loss = args.loss
-    cfg.train.patience = args.patience
-    if args.target_shape:
+    for attr, (section, field_name) in _ARG_MAP.items():
+        v = getattr(args, attr, None)
+        if v is not None:
+            setattr(getattr(cfg, section), field_name, v)
+    if getattr(args, "target_shape", None):
         cfg.data.target_shape = (args.target_shape,) * 3
         cfg.infer.roi = cfg.data.target_shape
     return cfg

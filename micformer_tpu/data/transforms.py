@@ -89,6 +89,12 @@ def batched_train_augment(key, images, labels):
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(train_augment)(keys, images, labels)
 
+
+def batched_nnunet_train_augment(key, images, labels):
+    """vmap of the moreDA-flavored stack over the batch dim."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(nnunet_train_augment)(keys, images, labels)
+
 # ---------------------------------------------------------------------------
 # nnU-Net moreDA-style spatial/intensity augmentations (capability parity with
 # MedNeXt/nnunet_mednext/training/data_augmentation/data_augmentation_moreDA.py
@@ -183,15 +189,15 @@ def rand_affine(key, image, label, rot_range=0.26, scale_range=(0.85, 1.25),
 def nnunet_train_augment(key, image, label):
     """moreDA-flavored stack: affine -> noise -> blur -> intensity scale ->
     gamma -> flips. Per-sample [C,D,H,W]/[K,D,H,W]."""
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     image, label = rand_affine(ks[0], image, label)
     image = rand_gaussian_noise(ks[1], image)
     image = rand_gaussian_blur(ks[2], image)
     image = rand_scale_intensity(ks[3], image, 0.25, prob=0.15)
     image = rand_gamma(ks[4], image, invert_image=True, prob=0.1)
     image = rand_gamma(ks[5], image, prob=0.3)
-    for i, axis in enumerate(range(3)):
-        image, label = rand_flip(ks[6 + i // 3], image, label, axis)
+    for axis in range(3):
+        image, label = rand_flip(ks[6 + axis], image, label, axis)
     return image, label
 
 

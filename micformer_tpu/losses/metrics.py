@@ -38,10 +38,14 @@ def meandice(pred: jnp.ndarray, label: jnp.ndarray, num_class: int = 8) -> jnp.n
 
 
 def mean_iou(pred_onehot: jnp.ndarray, label_onehot: jnp.ndarray,
-             include_background: bool = False) -> jnp.ndarray:
-    """MONAI MeanIoU parity: per-(batch, class) IoU then mean; empty union -> nan
-    is avoided by MONAI's default ignore_empty=True semantics — here empty-union
-    classes contribute 1.0 when both empty (matching Dice-metric convention).
+             include_background: bool = False,
+             ignore_empty: bool = True) -> jnp.ndarray:
+    """MONAI MeanIoU parity (monai.metrics.compute_iou semantics).
+
+    ignore_empty=True (MONAI default, used by the reference test.ipynb cell 4):
+    (batch, class) cells whose ground truth is empty score nan and are dropped
+    from the mean (nanmean aggregation). ignore_empty=False: empty-union cells
+    score 1.0 (both empty), otherwise inter/union.
 
     pred_onehot/label_onehot: [B, C, ...] binary.
     """
@@ -51,7 +55,11 @@ def mean_iou(pred_onehot: jnp.ndarray, label_onehot: jnp.ndarray,
         p, l = p[:, 1:], l[:, 1:]
     axes = tuple(range(2, p.ndim))
     inter = jnp.sum(p * l, axis=axes)
-    union = jnp.sum(p, axis=axes) + jnp.sum(l, axis=axes) - inter
+    y_sum = jnp.sum(l, axis=axes)
+    union = jnp.sum(p, axis=axes) + y_sum - inter
+    if ignore_empty:
+        iou = jnp.where(y_sum > 0, inter / jnp.maximum(union, 1e-38), jnp.nan)
+        return jnp.nanmean(iou)
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-38), 1.0)
     return jnp.mean(iou)
 

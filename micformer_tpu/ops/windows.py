@@ -102,8 +102,7 @@ def shifted_window_region_ids(dims, window_size, shift_size) -> np.ndarray | Non
     exceeded the remote-compile request limit). Region ids are O(nW·T); the
     pairwise comparison is built in-graph by the attention core and fuses into
     the softmax. Returns None when no axis is shifted."""
-    full = shifted_window_mask(dims, window_size, shift_size)
-    if full is None:
+    if not any(shift_size):
         return None
     D, H, W = dims
     wd, wh, ww = window_size

@@ -61,6 +61,21 @@ class TrainConfig:
     nan_guard: bool = True
     max_consecutive_nan: int = 50
     run_dir: str = "runs/default"
+    # train-time transform stack, applied INSIDE the jitted train step
+    # (reference protocol: RandFlip x3 + NormalizeIntensity(nonzero) +
+    # RandScale/ShiftIntensity, train_mmwhs_noPad.py:116-130; val applies
+    # NormalizeIntensity only). "monai" | "nnunet" | "none".
+    augment: str = "monai"
+    # sliding-window validation (reference validates through MONAI
+    # sliding_window_inference, utils.py:226-240): when a val volume's spatial
+    # shape differs from `roi`, validate() tiles it; equal shapes run the
+    # direct forward (identical result, no tiling overhead).
+    roi: tuple | None = None
+    sw_overlap: float = 0.5
+    sw_batch_size: int = 1
+    # crash resume: save a "latest" checkpoint every `latest_every` epochs
+    # (nnU-Net keeps latest+best, network_trainer.py:258-401)
+    latest_every: int = 1
     # early stopping (nnU-Net manage_patience parity, network_trainer.py:557-607):
     # stop when the smoothed val metric hasn't improved by min_delta within
     # `patience` validations; None disables (the MM-WHS harness never stops early).
@@ -159,13 +174,31 @@ class Trainer:
     # -- compiled steps ----------------------------------------------------
 
     def _loss(self, logits, labels):
+        from micformer_tpu.losses.dice import (
+            generalized_dice_loss, topk_ce_loss, focal_loss, mcc_loss,
+            dice_topk_loss, dice_bce_loss,
+        )
+
+        loss_fns = {
+            "mdice": mdice_loss,
+            "dice_ce": softmax_dice_ce_loss,
+            "gdl": generalized_dice_loss,
+            "topk": topk_ce_loss,
+            "focal": focal_loss,
+            "mcc": mcc_loss,
+            "dice_topk": dice_topk_loss,
+            "dice_bce": dice_bce_loss,
+        }
+        try:
+            fn = loss_fns[self.cfg.loss]
+        except KeyError:
+            raise ValueError(f"unknown loss {self.cfg.loss!r}; "
+                             f"one of {sorted(loss_fns)}") from None
         if self.cfg.deep_supervision and isinstance(logits, (list, tuple)):
-            return deep_supervision_loss(list(logits), labels)
+            return deep_supervision_loss(list(logits), labels, loss_fn=fn)
         if isinstance(logits, (list, tuple)):
             logits = logits[0]
-        if self.cfg.loss == "dice_ce":
-            return softmax_dice_ce_loss(logits, labels)
-        return mdice_loss(logits, labels)
+        return fn(logits, labels)
 
     def _prep_batch(self, images, labels):
         """Compact-transfer batches: f16 images upcast and uint8 class-index
@@ -177,12 +210,38 @@ class Trainer:
                                     dtype=jnp.float32)
         return images, labels
 
+    def _augment(self, key, images, labels):
+        """Train-transform stack inside the jitted step (reference protocol,
+        train_mmwhs_noPad.py:116-130). Fuses into the step's HLO — no extra
+        dispatch or HBM round-trip."""
+        from micformer_tpu.data.transforms import (
+            batched_train_augment,
+            batched_nnunet_train_augment,
+        )
+
+        if self.cfg.augment == "monai":
+            return batched_train_augment(key, images, labels)
+        if self.cfg.augment == "nnunet":
+            return batched_nnunet_train_augment(key, images, labels)
+        return images, labels
+
+    def _val_transform(self, images):
+        """Reference val transform: NormalizeIntensityd(nonzero, channel_wise)
+        (train_mmwhs_noPad.py:127-130); identity when augmentation is off."""
+        if self.cfg.augment == "monai":
+            from micformer_tpu.data.transforms import val_normalize
+
+            return val_normalize(images)
+        return images
+
     def _build_steps(self):
         model, cfg = self.model, self.cfg
         prep = self._prep_batch
 
         def train_step(state: TrainState, images, labels, rng):
+            aug_rng, rng = jax.random.split(rng)
             images, labels = prep(images, labels)
+            images, labels = self._augment(aug_rng, images, labels)
             def loss_fn(params):
                 logits = model.apply({"params": params}, images,
                                      deterministic=False, rngs={"dropout": rng})
@@ -199,9 +258,7 @@ class Trainer:
                 return new_state, {"loss": loss, "skipped": ~ok}
             return state.apply_gradients(grads), {"loss": loss, "skipped": jnp.zeros((), bool)}
 
-        def eval_step(state: TrainState, images, labels):
-            images, labels = prep(images, labels)
-            logits = model.apply({"params": state.params}, images)
+        def _metrics_from_logits(logits, labels):
             if isinstance(logits, (list, tuple)):
                 logits = logits[0]
             vloss = mdice_val_loss(logits, labels)
@@ -210,6 +267,33 @@ class Trainer:
             dice = meandice(pred, gt, cfg.num_classes)
             per_class = hard_dice_metric(logits, labels)
             return {"val_loss": vloss, "meandice": dice, "per_class_dice": per_class}
+
+        def eval_step(state: TrainState, images, labels):
+            images, labels = prep(images, labels)
+            images = self._val_transform(images)
+            logits = model.apply({"params": state.params}, images)
+            return _metrics_from_logits(logits, labels)
+
+        def sw_eval_step(state: TrainState, images, labels):
+            # reference validation path: MONAI sliding_window_inference
+            # (utils.py:226-240) — tiles any volume larger than roi
+            from micformer_tpu.infer.sliding_window import sliding_window_inference
+
+            images, labels = prep(images, labels)
+            images = self._val_transform(images)
+
+            def predictor(x):
+                out = model.apply({"params": state.params}, x)
+                return out[0] if isinstance(out, (list, tuple)) else out
+
+            logits = sliding_window_inference(
+                images, cfg.roi, predictor,
+                num_classes=cfg.num_classes, overlap=cfg.sw_overlap,
+                sw_batch_size=cfg.sw_batch_size,
+            )
+            return _metrics_from_logits(logits, labels)
+
+        self._sw_eval_fn = sw_eval_step
 
         donate = {"donate_argnums": (0,)}
         if self.mesh is not None:
@@ -220,10 +304,16 @@ class Trainer:
                 in_shardings=(rep, batch_sh, batch_sh, rep),
                 **donate,
             )
-            self.eval_step = jax.jit(eval_step, in_shardings=(rep, batch_sh, batch_sh))
+            # validation batches are replicated (val batch is 1 in the
+            # reference protocol — case-level sharding is the DDP-parity
+            # mechanism, parallel.shard_cases); only train batches shard
+            self.eval_step = jax.jit(eval_step, in_shardings=(rep, rep, rep))
+            self.sw_eval_step = jax.jit(
+                sw_eval_step, in_shardings=(rep, rep, rep))
         else:
             self.train_step = jax.jit(train_step, **donate)
             self.eval_step = jax.jit(eval_step)
+            self.sw_eval_step = jax.jit(sw_eval_step)
 
     # -- loops --------------------------------------------------------------
 
@@ -236,21 +326,40 @@ class Trainer:
         cfg = self.cfg
         sample = train_loader.peek_shape()
         state = self.init_state(sample)
+        from micformer_tpu.utils import count_parameters
+
+        n_params = count_parameters(state.params)
+        print(f"model parameters: {n_params:,}")
+        self._log({"n_parameters": n_params})
+
         start_epoch = 0
-        if resume and self.ckpt.exists("best_dice"):
-            # full resume: params + opt_state + step + epoch (the reference
-            # drops optimizer state on its live resume path — SURVEY §5)
+        best_dice, best_loss = -1.0, float("inf")
+        resume_tag = next(
+            (t for t in ("latest", "best_dice") if self.ckpt.exists(t)), None
+        ) if resume else None
+        if resume_tag:
+            # full resume: params + opt_state + step + epoch + best metrics
+            # (the reference drops optimizer state on its live resume path —
+            # SURVEY §5). "latest" preferred: a crash loses at most
+            # latest_every epochs (nnU-Net latest+best parity).
             template = {"params": state.params, "opt_state": state.opt_state,
-                        "step": state.step, "epoch": 0}
-            restored = self.ckpt.restore("best_dice", template)
+                        "step": state.step, "epoch": 0,
+                        "best_dice": 0.0, "best_loss": 0.0}
+            try:
+                restored = self.ckpt.restore(resume_tag, template)
+            except Exception:
+                # round-1 checkpoints lack the best-metric fields
+                template.pop("best_dice"), template.pop("best_loss")
+                restored = self.ckpt.restore(resume_tag, template)
             state = state.replace(params=restored["params"],
                                   opt_state=restored["opt_state"],
                                   step=restored["step"])
             start_epoch = int(restored["epoch"]) + 1
-            print(f"resumed from epoch {start_epoch}")
+            best_dice = float(restored.get("best_dice", -1.0))
+            best_loss = float(restored.get("best_loss", float("inf")))
+            print(f"resumed from epoch {start_epoch} ({resume_tag})")
 
         rng = jax.random.key(cfg.seed + 1)
-        best_dice, best_loss = -1.0, float("inf")
         nan_streak = 0
         ema_metric, best_ema, vals_since_improvement = None, -float("inf"), 0
         for epoch in range(start_epoch, cfg.epochs):
@@ -281,6 +390,13 @@ class Trainer:
             self.writer.scalar("train/loss", lmeter.avg, epoch)
             self.writer.scalar("train/lr", lr_now, epoch)
 
+            if cfg.latest_every and (epoch + 1) % cfg.latest_every == 0:
+                self.ckpt.save("latest", {
+                    "params": state.params, "opt_state": state.opt_state,
+                    "step": state.step, "epoch": epoch,
+                    "best_dice": best_dice, "best_loss": best_loss,
+                })
+
             if val_loader is not None and (epoch + 1) % cfg.val_every == 0:
                 vm = self.validate(state, val_loader)
                 self._log({"epoch": epoch, **{k: v for k, v in vm.items()
@@ -292,14 +408,17 @@ class Trainer:
                 save_metrics(self.writer, vm["per_class_dice"],
                              [f"c{i}" for i in range(cfg.num_classes)],
                              epoch, cfg.run_dir)
-                payload = {"params": state.params, "opt_state": state.opt_state,
-                           "step": state.step, "epoch": epoch}
+                def payload():
+                    return {"params": state.params, "opt_state": state.opt_state,
+                            "step": state.step, "epoch": epoch,
+                            "best_dice": best_dice, "best_loss": best_loss}
+
                 if vm["meandice"] > best_dice:
                     best_dice = vm["meandice"]
-                    self.ckpt.save("best_dice", payload)
+                    self.ckpt.save("best_dice", payload())
                 if vm["val_loss"] < best_loss:
                     best_loss = vm["val_loss"]
-                    self.ckpt.save("best_loss", payload)
+                    self.ckpt.save("best_loss", payload())
                 if cfg.patience is not None and np.isfinite(vm["meandice"]):
                     a = cfg.val_metric_alpha
                     ema_metric = (vm["meandice"] if ema_metric is None
@@ -347,7 +466,9 @@ class Trainer:
         return lrs, losses
 
     def _raw_train_step(self, state, images, labels, rng):
+        aug_rng, rng = jax.random.split(rng)
         images, labels = self._prep_batch(images, labels)
+        images, labels = self._augment(aug_rng, images, labels)
 
         def loss_fn(params):
             logits = self.model.apply({"params": params}, images,
@@ -360,7 +481,11 @@ class Trainer:
     def validate(self, state: TrainState, val_loader) -> dict:
         losses, dices, per_class = [], [], []
         for images, labels, _ in val_loader:
-            m = self.eval_step(state, images, labels)
+            if (self.cfg.roi is not None
+                    and tuple(images.shape[2:]) != tuple(self.cfg.roi)):
+                m = self.sw_eval_step(state, images, labels)
+            else:
+                m = self.eval_step(state, images, labels)
             losses.append(float(m["val_loss"]))
             dices.append(float(m["meandice"]))
             per_class.append(np.asarray(m["per_class_dice"]))

@@ -82,9 +82,26 @@ def test_mean_iou():
     pred = np.zeros((1, 3, 4, 4, 4), dtype=np.float32)
     lab = np.zeros_like(pred)
     pred[0, 1, :2] = 1
-    lab[0, 1, 1:3] = 1  # IoU ch1 = 16/48; ch2 empty-empty -> 1.0
+    lab[0, 1, 1:3] = 1  # IoU ch1 = 16/48; ch2 GT-empty -> nan, dropped
+    # MONAI ignore_empty=True default (test.ipynb cell 4): empty-GT classes
+    # are excluded from the mean
     got = float(mean_iou(jnp.array(pred), jnp.array(lab), include_background=False))
-    assert got == pytest.approx((16 / 48 + 1.0) / 2, abs=1e-6)
+    assert got == pytest.approx(16 / 48, abs=1e-6)
+    # ignore_empty=False: empty-union -> 1.0, empty-GT-nonempty-pred -> 0
+    got2 = float(mean_iou(jnp.array(pred), jnp.array(lab),
+                          include_background=False, ignore_empty=False))
+    assert got2 == pytest.approx((16 / 48 + 1.0) / 2, abs=1e-6)
+
+
+def test_mean_iou_empty_gt_nonempty_pred_ignored():
+    pred = np.zeros((1, 3, 2, 2, 2), dtype=np.float32)
+    lab = np.zeros_like(pred)
+    pred[0, 2] = 1  # false positives on an absent structure
+    lab[0, 1] = 1
+    pred[0, 1] = 1
+    got = float(mean_iou(jnp.array(pred), jnp.array(lab), include_background=False))
+    # ch1 perfect (IoU 1), ch2 GT-empty -> dropped despite FP prediction
+    assert got == pytest.approx(1.0, abs=1e-6)
 
 
 def test_hd95_identical_is_zero(rng):
