@@ -1,0 +1,7 @@
+from micformer_tpu.convert.torch_import import (  # noqa: F401
+    linear_kernel,
+    conv3d_kernel,
+    conv_transpose3d_kernel,
+    micformer_params_from_torch,
+    load_reference_micformer,
+)

@@ -54,7 +54,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(self.out, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -348,7 +348,7 @@ class ConvNormAct(nn.Module):
         elif self.act == "relu":
             x = nn.relu(x)
         elif self.act == "gelu":
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         elif self.act == "leaky":
             x = nn.leaky_relu(x, 0.01)
         return x

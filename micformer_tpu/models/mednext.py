@@ -60,7 +60,7 @@ class MedNeXtBlock(nn.Module):
                         feature_group_count=C, dtype=self.dtype, name="dw")(x)
         h = InstanceNorm(affine=True, dtype=self.dtype, name="norm")(h)
         h = nn.Conv(self.exp_r * C, (1, 1, 1), dtype=self.dtype, name="expand")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="compress")(h)
         if self.do_res:
             if self.mode == "down":

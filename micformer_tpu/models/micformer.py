@@ -87,7 +87,7 @@ class CrossBlock3D(nn.Module):
         off = Conv3x3ViaDot(self.hidden_channels, dtype=self.dtype,
                             name="offset_conv1")(off)
         off = nn.LayerNorm(dtype=self.dtype, name="offset_norm")(off)
-        off = nn.gelu(off)
+        off = nn.gelu(off, approximate=False)
         off = nn.Conv(3, (1, 1, 1), use_bias=False, dtype=self.dtype,
                       name="offset_conv2")(off)          # [B, Dp, Hp, Wp, 3]
 

@@ -64,11 +64,11 @@ class ConvStem(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3, 3), strides=(self.stride,) * 3,
                     padding=1, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(x)
         if not self.last:
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
             x = nn.LayerNorm(dtype=self.dtype)(x)
         return x
 
@@ -154,7 +154,7 @@ class NnFormer(nn.Module):
             skips.append(nn.LayerNorm(dtype=self.dtype, name=f"skip_norm{i}")(x))
             if i < n - 1:
                 # PatchMerging (:401-422): GELU -> LN -> conv k3 s2
-                x = nn.gelu(x)
+                x = nn.gelu(x, approximate=False)
                 x = nn.LayerNorm(dtype=self.dtype, name=f"merge_norm{i}")(x)
                 x = nn.Conv(2 * dim, (3, 3, 3), strides=(2, 2, 2), padding=1,
                             dtype=self.dtype, name=f"merge{i}")(x)

@@ -1,0 +1,83 @@
+"""Model-level torch parity: transplant reference PyTorch weights into the
+flax models and assert forward logits match (VERDICT round-1 item 3).
+
+Oracle: the reference's own in-repo model code at /root/reference (read-only,
+imported for numeric comparison only). MicFormer is the flagship target
+(MICFormer_self.py:881-1055). MONAI-backed references (UNet, SwinUNETR)
+cannot be instantiated here — monai is not installed in this image — so their
+parity is pinned at the layer level (tests/test_layer_parity.py) instead.
+
+Input is 64^3 — the smallest cube where no stage reaches spatial size 1.
+At size-1 axes the reference STN divides by (size-1)=0 (inf/nan coordinates
+into grid_sample); ops/warp.py deliberately deviates there (identity on that
+axis). Measured numbers are recorded in docs/PARITY.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "MicFormer", "models")),
+    reason="reference repo not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def micformer_parity_run():
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert import (
+        load_reference_micformer,
+        micformer_params_from_torch,
+    )
+
+    torch.manual_seed(0)
+    embed = 24  # heads (3,6,12,24) divide 24*2^i; full-size 48 is CPU-slow
+    tmodel = load_reference_micformer(REFERENCE, embed_dim=embed, num_classes=8)
+    params = micformer_params_from_torch(tmodel.state_dict())
+    fmodel = registry.build("micformer", num_classes=8, embed_dim=embed)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 2, 64, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    apply = jax.jit(lambda p, v: fmodel.apply({"params": p}, v))
+    got = np.asarray(apply(params, jnp.asarray(x)))
+    return tmodel, fmodel, params, x, ref, got
+
+
+def test_micformer_forward_parity(micformer_parity_run):
+    _, _, _, _, ref, got = micformer_parity_run
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 5e-4, f"max abs err {err:.2e} (measured 9e-5 on transplant)"
+
+
+def test_micformer_parity_is_weight_sensitive(micformer_parity_run):
+    """Guard against a trivially-passing comparison: perturbing one
+    transplanted tensor must break parity by orders of magnitude."""
+    _, fmodel, params, x, ref, _ = micformer_parity_run
+    bad = jax.tree.map(lambda a: a, params)
+    bad["out_conv"]["kernel"] = bad["out_conv"]["kernel"] + 0.05
+    got = np.asarray(fmodel.apply({"params": bad}, jnp.asarray(x)))
+    assert np.abs(got - ref).max() > 1e-2
+
+
+def test_param_count_matches_torch(micformer_parity_run):
+    """count_parameters parity: the flax tree holds exactly the torch
+    parameter budget minus the reference's dead concat_back_dim[0] (built,
+    never used: the forward only applies concat_back_dim[inx] for inx>0)."""
+    from micformer_tpu.utils import count_parameters
+
+    tmodel, _, params, _, _, _ = micformer_parity_run
+    torch_total = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    dead = sum(p.numel() for n, p in tmodel.named_parameters()
+               if n.startswith("swin.concat_back_dim.0."))
+    assert count_parameters(params) == torch_total - dead
