@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--overlap", type=float, default=0.5)
     p.add_argument("--sw-batch-size", type=int, default=2)
     p.add_argument("--step-mode", default="monai", choices=["monai", "nnunet"])
+    p.add_argument("--engine", default="3d", choices=["3d", "2d", "p3d"],
+                   help="3d: volumetric tiles; 2d: slice-by-slice 2D tiling; "
+                        "p3d: pseudo-3D neighborhood-as-channels "
+                        "(neural_network.py:429-822 variants). 2d/p3d need a "
+                        "2D-capable model (e.g. generic_unet with a 2D plan)")
+    p.add_argument("--pseudo3d-slices", type=int, default=5)
     p.add_argument("--mirror-tta", action="store_true")
     p.add_argument("--largest-cc", action="store_true")
     p.add_argument("--split", default="test", choices=["val", "test"])
@@ -57,26 +63,37 @@ def main(argv=None):
     ds = val_ds if args.split == "val" else test_ds
 
     model = registry.build(args.model, num_classes=args.num_classes)
-    sample = ds[0]
-    x0 = jnp.zeros((1,) + tuple(np.asarray(sample["image"]).shape), jnp.float32)
-    template = model.init(jax.random.key(0), x0)["params"]
 
     fold_params = []
     for rd in args.run_dirs:
         cm = CheckpointManager(rd)
         fold_params.append(cm.restore_params_only(args.ckpt_tag))
 
-    roi = (args.roi,) * 3
+    common = dict(num_classes=args.num_classes, overlap=args.overlap,
+                  step_mode=args.step_mode, sw_batch_size=args.sw_batch_size,
+                  mirror_tta=args.mirror_tta)
 
     def make_infer(params):
         def predictor(win):
             return model.apply({"params": params}, win)
 
+        if args.engine == "3d":
+            return jax.jit(functools.partial(
+                sliding_window_inference, roi_size=(args.roi,) * 3,
+                predictor=predictor, **common))
+        from micformer_tpu.infer.sliding_window_2d import (
+            sliding_window_inference_2d,
+            sliding_window_inference_pseudo3d,
+        )
+
+        if args.engine == "2d":
+            return jax.jit(functools.partial(
+                sliding_window_inference_2d, roi_size_2d=(args.roi,) * 2,
+                predictor_2d=predictor, **common))
         return jax.jit(functools.partial(
-            sliding_window_inference, roi_size=roi, predictor=predictor,
-            num_classes=args.num_classes, overlap=args.overlap,
-            step_mode=args.step_mode, sw_batch_size=args.sw_batch_size,
-            mirror_tta=args.mirror_tta))
+            sliding_window_inference_pseudo3d, roi_size_2d=(args.roi,) * 2,
+            predictor_2d=predictor, pseudo3d_slices=args.pseudo3d_slices,
+            **common))
 
     infer_fns = [make_infer(p_) for p_ in fold_params]
 

@@ -129,6 +129,7 @@ def sliding_window_inference(
     step_size: float = 0.5,      # nnunet step fraction
     sw_batch_size: int = 1,
     mirror_tta: bool = False,
+    mirror_axes=(0, 1, 2),
     sigma_scale: float = 1.0 / 8,
 ) -> jnp.ndarray:
     """Blended tiled prediction of a full volume.
@@ -152,7 +153,7 @@ def sliding_window_inference(
     n_tiles = coords.shape[0]
 
     if mirror_tta:
-        predictor = _mirror_tta_predictor(predictor)
+        predictor = _mirror_tta_predictor(predictor, mirror_axes)
 
     if blend == "gaussian":
         wmap = jnp.asarray(gaussian_importance_map(roi, sigma_scale))

@@ -12,3 +12,4 @@ from micformer_tpu.models import nnformer  # noqa: F401
 from micformer_tpu.models import swinunetr  # noqa: F401
 from micformer_tpu.models import transbts  # noqa: F401
 from micformer_tpu.models import transunet  # noqa: F401
+from micformer_tpu.models import generic_unet  # noqa: F401

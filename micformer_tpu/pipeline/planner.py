@@ -57,15 +57,56 @@ def analyze_dataset(volumes, labels, spacings=None) -> DatasetFingerprint:
     )
 
 
+def compute_pool_and_conv_schedules(patch_size, spacing=None,
+                                    min_feature_map_size=4, max_pools=5):
+    """Per-stage pool/conv kernel schedules — nnU-Net `get_pool_and_conv_props`
+    (experiment_planning/common_utils.py) decisions, slimmed: each round pools
+    (stride 2) every axis whose remaining extent allows it (>= 2*min feature
+    map size) AND whose spacing is within 2x of the finest axis; conv kernels
+    are 3 on axes within 3x anisotropy of the finest spacing, else 1 (the
+    planner's anisotropy rule). Isotropic 128-ish patches yield the classic
+    5x (2,2,2) pools / 6x (3,3,3) convs.
+
+    Returns (pool_op_kernel_sizes, conv_kernel_sizes) with
+    len(conv) == len(pool) + 1. Works for any rank (2D/3D).
+    """
+    nd = len(patch_size)
+    spacing = [float(s) for s in (spacing or [1.0] * nd)]
+    size = [int(p) for p in patch_size]
+
+    def conv_kernel():
+        m = min(spacing)
+        return [3 if spacing[i] <= 3 * m else 1 for i in range(nd)]
+
+    pools, convs = [], [conv_kernel()]
+    while len(pools) < max_pools:
+        m = min(spacing)
+        axes = [i for i in range(nd)
+                if size[i] >= 2 * min_feature_map_size and spacing[i] <= 2 * m]
+        if not axes:
+            break
+        pools.append([2 if i in axes else 1 for i in range(nd)])
+        for i in axes:
+            spacing[i] *= 2
+            size[i] //= 2
+        convs.append(conv_kernel())
+    return pools, convs
+
+
 def plan_experiment(fp: DatasetFingerprint, max_patch=(128, 128, 128),
                     vram_budget_voxels=128 ** 3 * 2) -> dict:
     """Derive patch/batch/normalization plan (3DUNet planner decisions,
     reduced): patch = median shape clipped to max_patch and rounded to /16;
-    batch grows while it fits the voxel budget (>=2 like nnU-Net's floor)."""
+    batch grows while it fits the voxel budget (>=2 like nnU-Net's floor).
+    The emitted pool/conv schedules feed models.generic_unet.build_from_plan
+    — the plan-consuming dynamic architecture (generic_UNet.py:167 parity)."""
     med = np.median(np.asarray(fp.shapes), axis=0).astype(int)
     patch = [min(int(m), mp) for m, mp in zip(med, max_patch)]
     patch = [max(16, (p // 16) * 16) for p in patch]
     batch = max(1, int(vram_budget_voxels // max(np.prod(patch), 1)))
+    spacing = (list(np.median(np.asarray(fp.spacings), axis=0))
+               if fp.spacings else [1.0] * len(patch))
+    pools, convs = compute_pool_and_conv_schedules(patch, spacing)
     return {
         "patch_size": patch,
         "batch_size": batch,
@@ -74,4 +115,32 @@ def plan_experiment(fp: DatasetFingerprint, max_patch=(128, 128, 128),
         "mean": fp.intensity_mean,
         "std": fp.intensity_std,
         "classes": fp.class_values,
+        "spacing": spacing,
+        "pool_op_kernel_sizes": pools,
+        "conv_kernel_sizes": convs,
+        "base_num_features": 32,
+    }
+
+
+def plan_experiment_2d(fp: DatasetFingerprint, max_patch=(512, 512)) -> dict:
+    """2D plan (ExperimentPlanner2D parity, slimmed): in-plane patch from the
+    median shape's trailing two axes; schedules over rank-2 kernels, feeding
+    the 2D GenericUNet that the 2D/pseudo-3D inference engines drive."""
+    med = np.median(np.asarray(fp.shapes), axis=0).astype(int)[-2:]
+    patch = [max(16, (min(int(m), mp) // 16) * 16) for m, mp in zip(med, max_patch)]
+    spacing = (list(np.median(np.asarray(fp.spacings), axis=0))[-2:]
+               if fp.spacings else [1.0, 1.0])
+    pools, convs = compute_pool_and_conv_schedules(patch, spacing, max_pools=6)
+    return {
+        "patch_size": patch,
+        "batch_size": 32,
+        "normalization": "zscore_clip",
+        "clip": [fp.intensity_p005, fp.intensity_p995],
+        "mean": fp.intensity_mean,
+        "std": fp.intensity_std,
+        "classes": fp.class_values,
+        "spacing": spacing,
+        "pool_op_kernel_sizes": pools,
+        "conv_kernel_sizes": convs,
+        "base_num_features": 32,
     }
