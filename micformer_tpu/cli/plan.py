@@ -26,6 +26,7 @@ def main(argv=None):
         analyze_dataset,
         plan_experiment,
         plan_experiment_2d,
+        plan_experiment_lowres,
     )
 
     p = argparse.ArgumentParser("micformer_tpu.plan")
@@ -56,17 +57,23 @@ def main(argv=None):
 
     plan3d = plan_experiment(fp, max_patch=(args.max_patch,) * 3)
     plan2d = plan_experiment_2d(fp)
+    planlow = plan_experiment_lowres(fp, max_patch=(args.max_patch,) * 3)
     with open(os.path.join(out, "plan_3d.json"), "w") as f:
         json.dump(plan3d, f, indent=2)
     with open(os.path.join(out, "plan_2d.json"), "w") as f:
         json.dump(plan2d, f, indent=2)
+    with open(os.path.join(out, "plan_3d_lowres.json"), "w") as f:
+        json.dump(planlow, f, indent=2)
 
     print(f"fingerprint: {len(cases)} cases, classes {fp.class_values}")
     print(f"3D plan: patch {plan3d['patch_size']} batch {plan3d['batch_size']} "
           f"pools {plan3d['pool_op_kernel_sizes']}")
     print(f"2D plan: patch {plan2d['patch_size']} "
           f"pools {plan2d['pool_op_kernel_sizes']}")
-    print(f"wrote {out}/fingerprint.json, plan_3d.json, plan_2d.json")
+    print(f"lowres plan: downsample x{planlow['downsample_factor']:.2f} "
+          f"patch {planlow['patch_size']}")
+    print(f"wrote {out}/fingerprint.json, plan_3d.json, plan_2d.json, "
+          f"plan_3d_lowres.json")
 
 
 if __name__ == "__main__":

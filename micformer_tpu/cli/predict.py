@@ -4,9 +4,16 @@ Capability parity with the vendored nnU-Net predict pipeline
 (MedNeXt/nnunet_mednext/inference/predict.py:131-604 predict_cases /
 predict_from_folder): iterate cases, per fold restore params, sliding-window
 predict (mirror TTA optional), average fold softmax, argmax, optional
-largest-CC postprocessing, NIfTI export. Preprocessing runs in the loader
-thread (the reference uses a multiprocessing queue; here the TPU step and
-host preprocessing already overlap via the prefetching loader).
+largest-CC postprocessing, NIfTI export. Case preprocessing overlaps device
+inference via a background prefetch thread (`_prefetch_cases`) — the
+capability the reference gets from its multiprocessing preprocessing queue
+(predict.py:35-93 preprocess_multithreaded).
+
+Cascade: `--cascade-prev-seg-dir` appends the previous stage's segmentation
+as one-hot channels (nnUNetTrainerV2_CascadeFullRes semantics, un-augmented
+at inference); `--save-seg-for-next-stage` exports
+`<pid>_segFromPrevStage.npy` files that seed the next stage (the reference's
+predict_next_stage output naming).
 """
 
 from __future__ import annotations
@@ -14,6 +21,31 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import queue
+import threading
+
+
+def _prefetch_cases(ds, indices, depth: int = 2):
+    """Yield ds[i] for i in indices, produced by a background thread so host
+    preprocessing (IO, resize, normalize) overlaps device inference."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def produce():
+        try:
+            for i in indices:
+                q.put((i, ds[i]))
+            q.put(None)
+        except BaseException as e:
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def main(argv=None):
@@ -51,6 +83,13 @@ def main(argv=None):
     p.add_argument("--split", default="test", choices=["val", "test"])
     p.add_argument("--num_classes", type=int, default=8)
     p.add_argument("--target-shape", type=int, default=128)
+    p.add_argument("--cascade-prev-seg-dir", default=None,
+                   help="dir of <pid>_segFromPrevStage.npy files; their "
+                        "one-hot (foreground labels) is appended as input "
+                        "channels (cascade fullres stage)")
+    p.add_argument("--save-seg-for-next-stage", action="store_true",
+                   help="also write <pid>_segFromPrevStage.npy (model-grid "
+                        "label map) to seed the cascade's next stage")
     p.add_argument("--native-geometry", action="store_true",
                    help="resize predictions back to each case's stored crop "
                         "geometry before export (generate_segmentations "
@@ -97,9 +136,18 @@ def main(argv=None):
 
     infer_fns = [make_infer(p_) for p_ in fold_params]
 
-    for i in range(len(ds)):
-        s = ds[i]
-        vol = jnp.asarray(np.asarray(s["image"], np.float32))[None]
+    for i, s in _prefetch_cases(ds, range(len(ds))):
+        img = np.asarray(s["image"], np.float32)
+        if args.cascade_prev_seg_dir:
+            from micformer_tpu.data.cascade import seg_to_onehot, resize_seg_nearest
+
+            prev = np.load(os.path.join(
+                args.cascade_prev_seg_dir,
+                f"{s['patient_id']}_segFromPrevStage.npy"))
+            prev = resize_seg_nearest(prev, img.shape[1:])
+            onehot = seg_to_onehot(prev, list(range(1, args.num_classes)))
+            img = np.concatenate([img, onehot.astype(img.dtype)], axis=0)
+        vol = jnp.asarray(img)[None]
         probs = None
         for fn in infer_fns:
             logits = fn(vol)
@@ -108,6 +156,9 @@ def main(argv=None):
         seg = np.asarray(jnp.argmax(probs, axis=1))[0].astype(np.uint8)
         if args.largest_cc:
             seg = remove_all_but_largest_cc(seg)
+        if args.save_seg_for_next_stage:
+            np.save(os.path.join(
+                args.out, f"{s['patient_id']}_segFromPrevStage.npy"), seg)
         if args.native_geometry:
             from micformer_tpu.data.nifti import read_nifti
             from micformer_tpu.data.image_utils import resize_nearest

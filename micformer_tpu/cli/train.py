@@ -34,6 +34,17 @@ def main(argv=None):
         single_modal=cfg.data.single_modal,
     )
 
+    # cascade fullres stage: prev-stage seg as one-hot channels, pyramid-
+    # augmented at train time (nnUNetTrainerV2_CascadeFullRes parity)
+    if cfg.train.cascade_prev_seg_dir:
+        from micformer_tpu.data.cascade import CascadeDataset
+
+        train_ds = CascadeDataset(train_ds, cfg.train.cascade_prev_seg_dir,
+                                  cfg.model.num_classes, augment=True,
+                                  seed=cfg.train.seed)
+        val_ds = CascadeDataset(val_ds, cfg.train.cascade_prev_seg_dir,
+                                cfg.model.num_classes, augment=False)
+
     # nnU-Net fg-oversampled patch training (dataset_loading.py:158)
     if cfg.train.oversample_fg:
         from micformer_tpu.data.patch_sampler import OversampledPatchDataset
@@ -96,6 +107,8 @@ def main(argv=None):
         patience=getattr(cfg.train, "patience", None),
         run_dir=cfg.train.run_dir,
         augment=cfg.train.augment,
+        num_modalities=((1 if cfg.data.single_modal else 2)
+                        if cfg.train.cascade_prev_seg_dir else None),
         roi=tuple(cfg.infer.roi),
         sw_overlap=cfg.infer.overlap,
         sw_batch_size=cfg.infer.sw_batch_size,

@@ -60,6 +60,10 @@ class TrainerConfig:
     mesh: str | None = None
     # nnU-Net fg-oversampled patch training (dataset_loading.py:158)
     oversample_fg: float | None = None
+    # cascade fullres stage: dir of <pid>_segFromPrevStage.npy lowres preds;
+    # appends one-hot channels + pyramid augmentations
+    # (nnUNetTrainerV2_CascadeFullRes)
+    cascade_prev_seg_dir: str | None = None
 
 
 @dataclass
@@ -169,6 +173,12 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
                    help="nnU-Net patch training: fraction of patches forced "
                         "to contain foreground (dataset_loading.py:158; 0.33 "
                         "is the nnU-Net default)")
+    p.add_argument("--cascade-prev-seg-dir", default=None,
+                   help="cascade fullres stage: dir of "
+                        "<pid>_segFromPrevStage.npy files from the lowres "
+                        "stage; appended as one-hot input channels with "
+                        "pyramid augmentations at train time "
+                        "(nnUNetTrainerV2_CascadeFullRes parity)")
     p.add_argument("--throughput", action="store_true", default=None,
                    help="benchmark mode: time steps/sec, no checkpoints "
                         "(the flag the reference parsed but never implemented)")
@@ -203,6 +213,7 @@ _ARG_MAP = {
     "patience": ("train", "patience"),
     "mesh": ("train", "mesh"),
     "oversample_fg": ("train", "oversample_fg"),
+    "cascade_prev_seg_dir": ("train", "cascade_prev_seg_dir"),
 }
 
 

@@ -68,32 +68,55 @@ def rand_shift_intensity(key, image, offsets: float = 0.1, prob: float = 1.0):
     return jnp.where(jax.random.bernoulli(kp, prob), out, image)
 
 
-def train_augment(key, image, label):
+def _split_modalities(image, num_modalities):
+    """Split [C,...] into (intensity channels, passthrough channels).
+
+    Cascade prev-stage one-hot channels ride along at the END of the channel
+    axis and must NOT receive intensity transforms (the reference appends them
+    AFTER the intensity stack — moreDA.py MoveSegAsOneHotToData ordering);
+    spatial transforms (flips/affine) apply to every channel."""
+    if num_modalities is None or num_modalities >= image.shape[0]:
+        return image, None
+    return image[:num_modalities], image[num_modalities:]
+
+
+def _join_modalities(mod, rest):
+    return mod if rest is None else jnp.concatenate([mod, rest], axis=0)
+
+
+def train_augment(key, image, label, num_modalities=None):
     """Full reference train-transform stack on one sample ([C,D,H,W], [K,D,H,W])."""
     keys = jax.random.split(key, 5)
     for i, axis in enumerate(range(3)):
         image, label = rand_flip(keys[i], image, label, axis)
-    image = normalize_intensity_nonzero(image)
-    image = rand_scale_intensity(keys[3], image)
-    image = rand_shift_intensity(keys[4], image)
-    return image, label
+    mod, rest = _split_modalities(image, num_modalities)
+    mod = normalize_intensity_nonzero(mod)
+    mod = rand_scale_intensity(keys[3], mod)
+    mod = rand_shift_intensity(keys[4], mod)
+    return _join_modalities(mod, rest), label
 
 
-def val_normalize(image):
+def val_normalize(image, num_modalities=None):
     """Reference val transform: nonzero channel-wise z-score only."""
-    return normalize_intensity_nonzero(image)
+    axis = 0 if image.ndim == 4 else 1  # [C,...] or batched [B,C,...]
+    if num_modalities is None or num_modalities >= image.shape[axis]:
+        return normalize_intensity_nonzero(image)
+    mod, rest = jnp.split(image, [num_modalities], axis=axis)
+    return jnp.concatenate([normalize_intensity_nonzero(mod), rest], axis=axis)
 
 
-def batched_train_augment(key, images, labels):
+def batched_train_augment(key, images, labels, num_modalities=None):
     """vmap over the batch dim with independent per-sample keys."""
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(train_augment)(keys, images, labels)
+    return jax.vmap(lambda k, i, l: train_augment(k, i, l, num_modalities))(
+        keys, images, labels)
 
 
-def batched_nnunet_train_augment(key, images, labels):
+def batched_nnunet_train_augment(key, images, labels, num_modalities=None):
     """vmap of the moreDA-flavored stack over the batch dim."""
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(nnunet_train_augment)(keys, images, labels)
+    return jax.vmap(lambda k, i, l: nnunet_train_augment(k, i, l, num_modalities))(
+        keys, images, labels)
 
 # ---------------------------------------------------------------------------
 # nnU-Net moreDA-style spatial/intensity augmentations (capability parity with
@@ -186,16 +209,19 @@ def rand_affine(key, image, label, rot_range=0.26, scale_range=(0.85, 1.25),
     return img_out, lab_out
 
 
-def nnunet_train_augment(key, image, label):
+def nnunet_train_augment(key, image, label, num_modalities=None):
     """moreDA-flavored stack: affine -> noise -> blur -> intensity scale ->
-    gamma -> flips. Per-sample [C,D,H,W]/[K,D,H,W]."""
+    gamma -> flips. Per-sample [C,D,H,W]/[K,D,H,W]. Intensity transforms skip
+    cascade one-hot channels beyond `num_modalities` (moreDA ordering)."""
     ks = jax.random.split(key, 9)
     image, label = rand_affine(ks[0], image, label)
-    image = rand_gaussian_noise(ks[1], image)
-    image = rand_gaussian_blur(ks[2], image)
-    image = rand_scale_intensity(ks[3], image, 0.25, prob=0.15)
-    image = rand_gamma(ks[4], image, invert_image=True, prob=0.1)
-    image = rand_gamma(ks[5], image, prob=0.3)
+    mod, rest = _split_modalities(image, num_modalities)
+    mod = rand_gaussian_noise(ks[1], mod)
+    mod = rand_gaussian_blur(ks[2], mod)
+    mod = rand_scale_intensity(ks[3], mod, 0.25, prob=0.15)
+    mod = rand_gamma(ks[4], mod, invert_image=True, prob=0.1)
+    mod = rand_gamma(ks[5], mod, prob=0.3)
+    image = _join_modalities(mod, rest)
     for axis in range(3):
         image, label = rand_flip(ks[6 + axis], image, label, axis)
     return image, label

@@ -122,6 +122,32 @@ def plan_experiment(fp: DatasetFingerprint, max_patch=(128, 128, 128),
     }
 
 
+def plan_experiment_lowres(fp: DatasetFingerprint, max_patch=(128, 128, 128),
+                           patch_coverage: float = 1.0) -> dict:
+    """3d_lowres plan for the cascade's first stage (ExperimentPlanner3D's
+    lowres rule, slimmed): uniformly coarsen the target spacing until the
+    median shape fits within `patch_coverage` x the patch budget, so one
+    (or few) patches see the whole anatomy — the property the cascade's
+    first stage exists to provide. Emits the same schema as plan_experiment
+    plus 'downsample_factor' and 'stage': consumers resample inputs by the
+    factor before training/prediction, and the fullres stage consumes the
+    stage-0 predictions as extra one-hot channels (data/cascade.py)."""
+    med = np.median(np.asarray(fp.shapes), axis=0).astype(float)
+    budget = np.asarray(max_patch, float) * patch_coverage
+    factor = float(max(1.0, np.max(med / budget)))
+    lowres_med = np.maximum((med / factor).astype(int), 16)
+    fp_low = dataclasses.replace(
+        fp,
+        shapes=[list(lowres_med)],
+        spacings=([list(np.asarray(s, float) * factor) for s in fp.spacings]
+                  if fp.spacings else []),
+    )
+    plan = plan_experiment(fp_low, max_patch=max_patch)
+    plan["downsample_factor"] = factor
+    plan["stage"] = "3d_lowres"
+    return plan
+
+
 def plan_experiment_2d(fp: DatasetFingerprint, max_patch=(512, 512)) -> dict:
     """2D plan (ExperimentPlanner2D parity, slimmed): in-plane patch from the
     median shape's trailing two axes; schedules over rank-2 kernels, feeding

@@ -66,6 +66,11 @@ class TrainConfig:
     # RandScale/ShiftIntensity, train_mmwhs_noPad.py:116-130; val applies
     # NormalizeIntensity only). "monai" | "nnunet" | "none".
     augment: str = "monai"
+    # intensity transforms apply only to the first `num_modalities` channels;
+    # cascade prev-stage one-hot channels (appended after them) only get the
+    # spatial transforms — the reference's MoveSegAsOneHotToData ordering.
+    # None = all channels are modalities.
+    num_modalities: int | None = None
     # sliding-window validation (reference validates through MONAI
     # sliding_window_inference, utils.py:226-240): when a val volume's spatial
     # shape differs from `roi`, validate() tiles it; equal shapes run the
@@ -220,9 +225,11 @@ class Trainer:
         )
 
         if self.cfg.augment == "monai":
-            return batched_train_augment(key, images, labels)
+            return batched_train_augment(key, images, labels,
+                                         self.cfg.num_modalities)
         if self.cfg.augment == "nnunet":
-            return batched_nnunet_train_augment(key, images, labels)
+            return batched_nnunet_train_augment(key, images, labels,
+                                                self.cfg.num_modalities)
         return images, labels
 
     def _val_transform(self, images):
@@ -231,7 +238,7 @@ class Trainer:
         if self.cfg.augment == "monai":
             from micformer_tpu.data.transforms import val_normalize
 
-            return val_normalize(images)
+            return val_normalize(images, self.cfg.num_modalities)
         return images
 
     def _build_steps(self):
