@@ -262,3 +262,154 @@ def micformer_params_from_torch(state_dict, depths=(2, 2, 6, 2)):
         if inx > 0:
             params[f"concat_back{inx}"] = _dense(sd, f"swin.concat_back_dim.{inx}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# VT-Unet: 2D-Swin pretrained-checkpoint inflation (load_from parity)
+# ---------------------------------------------------------------------------
+
+def inflate_patch_embed_2d_to_3d(w2d: np.ndarray, kd: int, in_channels: int) -> np.ndarray:
+    """2D Swin patch-embed conv [E, C2d, kh, kw] -> flax 3D kernel
+    [kd, kh, kw, in_channels, E].
+
+    Channel adaptation: average the pretrained input channels (RGB) into one
+    filter and replicate it per target modality; depth inflation: replicate
+    over kd and divide by kd so a depth-constant input reproduces the 2D
+    response (I3D 'mean' inflation)."""
+    w2d = np.asarray(w2d)
+    E, _, kh, kw = w2d.shape
+    gray = w2d.mean(axis=1, keepdims=True)                    # [E, 1, kh, kw]
+    w = np.repeat(gray, in_channels, axis=1)                  # [E, in, kh, kw]
+    w3d = np.repeat(w[:, :, None], kd, axis=2) / float(kd)    # [E, in, kd, kh, kw]
+    return np.ascontiguousarray(w3d.transpose(2, 3, 4, 1, 0))
+
+
+def inflate_rel_pos_table_2d_to_3d(table2d: np.ndarray, window_size) -> np.ndarray | None:
+    """2D rel-pos bias table [(2wh-1)(2ww-1), h] -> 3D
+    [(2wd-1)(2wh-1)(2ww-1), h] by replicating across the depth-delta axis
+    (the Video-Swin inflation rule for additive biases). Returns None when the
+    2D table does not factor as (2wh-1)(2ww-1) of the target window."""
+    t = np.asarray(table2d)
+    wd, wh, ww = window_size
+    nh, nw = 2 * wh - 1, 2 * ww - 1
+    if t.shape[0] != nh * nw:
+        return None
+    t = t.reshape(nh, nw, -1)
+    t3 = np.broadcast_to(t[None], (2 * wd - 1, nh, nw, t.shape[-1]))
+    return np.ascontiguousarray(t3.reshape((2 * wd - 1) * nh * nw, -1))
+
+
+def _set_if_match(params, path, value, report):
+    """Overwrite params[path...] when shapes agree (the reference load_from
+    deletes shape-mismatched keys, vision_transformer.py:75-80)."""
+    node = params
+    for k in path[:-1]:
+        if not isinstance(node, dict) or k not in node:
+            report["missing"].append("/".join(path))
+            return
+        node = node[k]
+    leaf = path[-1]
+    if not isinstance(node, dict) or leaf not in node:
+        report["missing"].append("/".join(path))
+        return
+    if tuple(np.shape(node[leaf])) != tuple(np.shape(value)):
+        report["skipped"].append(
+            f"{'/'.join(path)}: ckpt{tuple(np.shape(value))} != "
+            f"model{tuple(np.shape(node[leaf]))}")
+        return
+    node[leaf] = np.asarray(value, dtype=np.asarray(node[leaf]).dtype)
+    report["loaded"].append("/".join(path))
+
+
+def vtunet_params_from_swin2d(state_dict, params, *, depths=(2, 2, 2, 1),
+                              window_size=(7, 7, 7), patch_size=(4, 4, 4),
+                              in_channels: int = 2):
+    """Inflate a 2D Swin-Transformer checkpoint into flax VT-UNet params.
+
+    Reference semantics (VT-Unet/vtunet/vision_transformer.py:52-86 load_from):
+      - unwrap ckpt['model'] upstream; keys follow the official 2D Swin naming
+        (patch_embed.proj, layers.{i}.blocks.{b}.{norm1,attn.qkv,attn.proj,
+        attn.relative_position_bias_table,norm2,mlp.fc1,mlp.fc2}, norm).
+      - encoder weights are MIRRORED into the decoder: layers.X ->
+        layers_up.(3-X) (here: enc{i}_b{b} -> dec{n-1-i}_b{b}).
+      - shape-mismatched tensors are dropped (non-strict load).
+    Beyond the reference (which drops all 2D<->3D mismatches), genuinely 2D
+    tensors are INFLATED: patch-embed conv by depth-replication/kd, rel-pos
+    bias tables by depth-delta replication — so a 2D-pretrained encoder
+    actually initializes the 3D model instead of silently loading nothing.
+
+    Args:
+      state_dict: torch state_dict (or numpy mapping) of the 2D checkpoint.
+      params: flax params tree from VTUNet.init (mutated copy returned).
+    Returns (params, report) with report = {loaded, skipped, missing} lists.
+    """
+    import copy as _copy
+
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params = _copy.deepcopy(params)
+    report = {"loaded": [], "skipped": [], "missing": []}
+    n = len(depths)
+
+    if "patch_embed.proj.weight" in sd:
+        _set_if_match(
+            params, ("patch_embed", "Conv_0", "kernel"),
+            inflate_patch_embed_2d_to_3d(sd["patch_embed.proj.weight"],
+                                         patch_size[0], in_channels), report)
+        if "patch_embed.proj.bias" in sd:
+            _set_if_match(params, ("patch_embed", "Conv_0", "bias"),
+                          sd["patch_embed.proj.bias"], report)
+        if "patch_embed.norm.weight" in sd:
+            _set_if_match(params, ("patch_embed", "LayerNorm_0", "scale"),
+                          sd["patch_embed.norm.weight"], report)
+            _set_if_match(params, ("patch_embed", "LayerNorm_0", "bias"),
+                          sd["patch_embed.norm.bias"], report)
+    if "norm.weight" in sd:
+        _set_if_match(params, ("norm", "scale"), sd["norm.weight"], report)
+        _set_if_match(params, ("norm", "bias"), sd["norm.bias"], report)
+
+    def load_block(src_prefix, dst_block):
+        p = src_prefix
+        if p + ".norm1.weight" not in sd:
+            return
+        _set_if_match(params, (dst_block, "norm1", "scale"), sd[p + ".norm1.weight"], report)
+        _set_if_match(params, (dst_block, "norm1", "bias"), sd[p + ".norm1.bias"], report)
+        _set_if_match(params, (dst_block, "norm2", "scale"), sd[p + ".norm2.weight"], report)
+        _set_if_match(params, (dst_block, "norm2", "bias"), sd[p + ".norm2.bias"], report)
+        _set_if_match(params, (dst_block, "attn", "qkv", "kernel"),
+                      linear_kernel(sd[p + ".attn.qkv.weight"]), report)
+        if p + ".attn.qkv.bias" in sd:
+            _set_if_match(params, (dst_block, "attn", "qkv", "bias"),
+                          sd[p + ".attn.qkv.bias"], report)
+        _set_if_match(params, (dst_block, "attn", "proj", "kernel"),
+                      linear_kernel(sd[p + ".attn.proj.weight"]), report)
+        _set_if_match(params, (dst_block, "attn", "proj", "bias"),
+                      sd[p + ".attn.proj.bias"], report)
+        tkey = p + ".attn.relative_position_bias_table"
+        if tkey in sd:
+            t3 = inflate_rel_pos_table_2d_to_3d(sd[tkey], window_size)
+            if t3 is None:
+                report["skipped"].append(f"{dst_block}/rel_pos_bias_table: "
+                                         f"2D table {sd[tkey].shape} does not "
+                                         f"factor for window {window_size}")
+            else:
+                _set_if_match(params, (dst_block, "attn", "rel_pos_bias_table"),
+                              t3, report)
+        _set_if_match(params, (dst_block, "mlp", "Dense_0", "kernel"),
+                      linear_kernel(sd[p + ".mlp.fc1.weight"]), report)
+        _set_if_match(params, (dst_block, "mlp", "Dense_0", "bias"),
+                      sd[p + ".mlp.fc1.bias"], report)
+        _set_if_match(params, (dst_block, "mlp", "Dense_1", "kernel"),
+                      linear_kernel(sd[p + ".mlp.fc2.weight"]), report)
+        _set_if_match(params, (dst_block, "mlp", "Dense_1", "bias"),
+                      sd[p + ".mlp.fc2.bias"], report)
+
+    for i in range(n):
+        for b in range(depths[i]):
+            src = f"layers.{i}.blocks.{b}"
+            load_block(src, f"enc{i}_b{b}")
+            # encoder -> decoder mirror (load_from: layers.X -> layers_up.(3-X))
+            inx = n - 1 - i
+            if inx >= 1:
+                load_block(src, f"dec{inx}_b{b}")
+    return params, report
