@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import numpy as np
@@ -60,6 +61,7 @@ class DataLoader:
         prefetch=2,
         device_put=True,
         compact=True,
+        workers=0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +71,13 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.device_put = device_put
         self.compact = compact
+        # workers > 1: samples of a batch are fetched concurrently by a thread
+        # pool (dataset __getitem__ is numpy/IO heavy and releases the GIL —
+        # NIfTI decompression, native resize, npy reads). Batch ORDER is
+        # unchanged regardless of worker count: parallelism is within a batch,
+        # so runs stay deterministic (grain-style determinism, TODO.md infra).
+        self.workers = int(workers)
+        self._pool = ThreadPoolExecutor(self.workers) if self.workers > 1 else None
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -94,10 +103,16 @@ class DataLoader:
                 return
             yield chunk
 
+    def _fetch(self, chunk):
+        if self._pool is not None:
+            return list(self._pool.map(self.dataset.__getitem__,
+                                       [int(j) for j in chunk]))
+        return [self.dataset[int(j)] for j in chunk]
+
     def _produce(self, out_q: queue.Queue):
         try:
             for chunk in self._index_batches():
-                images, labels, meta = _stack_batch([self.dataset[int(j)] for j in chunk], self.compact)
+                images, labels, meta = _stack_batch(self._fetch(chunk), self.compact)
                 if self.device_put:
                     if self.sharding is not None:
                         images = jax.device_put(images, self.sharding)

@@ -97,22 +97,39 @@ def _tile_starts(image_size, roi_size, mode: str, overlap: float, step_size: flo
 def _mirror_tta_predictor(predictor: Callable, mirror_axes=(0, 1, 2)) -> Callable:
     """Wrap predictor with the nnU-Net 8-way mirror ensemble
     (neural_network.py:501-559): average of unflip(predict(flip(x))) over all
-    flip subsets of the spatial axes."""
+    flip subsets of the spatial axes.
+
+    The ensemble is a `lax.scan` over flip-flag triples, NOT an unrolled sum:
+    unrolled, XLA's scheduler may interleave the 8 forwards and keep several
+    sets of activations live at once — the HBM device fault round 1 hit at
+    sw_batch>=2. The scan serializes them (one forward's activations live at a
+    time) at identical FLOPs."""
     import itertools
 
     subsets = []
     for r in range(len(mirror_axes) + 1):
         subsets.extend(itertools.combinations(mirror_axes, r))
+    flags = np.zeros((len(subsets), 3), bool)
+    for i, sub in enumerate(subsets):
+        for a in sub:
+            flags[i, a] = True
 
     def wrapped(x):
-        out = None
-        for sub in subsets:
-            ax = tuple(a + 2 for a in sub)  # spatial axes of [B, C, D, H, W]
-            xin = jnp.flip(x, ax) if sub else x
-            y = predictor(xin)
-            y = jnp.flip(y, ax) if sub else y
-            out = y if out is None else out + y
-        return out / len(subsets)
+        def flip_if(t, flag):
+            for a in range(3):  # spatial axes of [B, C, D, H, W]
+                t = jax.lax.cond(flag[a],
+                                 functools.partial(jnp.flip, axis=a + 2),
+                                 lambda u: u, t)
+            return t
+
+        def body(acc, flag):
+            y = flip_if(predictor(flip_if(x, flag)), flag)
+            return acc + y.astype(jnp.float32), None
+
+        out_sd = jax.eval_shape(predictor, x)
+        acc, _ = jax.lax.scan(body, jnp.zeros(out_sd.shape, jnp.float32),
+                              jnp.asarray(flags))
+        return acc / len(subsets)
 
     return wrapped
 

@@ -93,7 +93,9 @@ class CrossBlock3D(nn.Module):
 
         ref = reference_points(Dp, Hp, Wp, faithful=self.faithful_grid)
         pos = jnp.moveaxis(off, -1, 1).astype(jnp.float32) + ref  # [B,3,D,H,W]
-        xa_warp = stn_warp(xap.astype(jnp.float32), pos).astype(xap.dtype)
+        # coords stay f32; values ride in the model dtype (bf16 halves the
+        # 8-corner gather traffic — the profiled stage-0 hot spot)
+        xa_warp = stn_warp(xap, pos)
 
         x_wins = window_partition(xn, ws)
         xa_wins = window_partition(xa_warp, ws)

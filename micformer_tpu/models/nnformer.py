@@ -190,10 +190,10 @@ class NnFormer(nn.Module):
                                     dtype=self.dtype, name=name)(feat)
 
         if self.deep_supervision:
-            pyramid = [to_channels_first(head(outs[-1 - j], f"head{j}").astype(jnp.float32))
-                       for j in range(len(outs))]
-            # highest resolution first
-            return [pyramid[0]] + pyramid[1:]
+            # highest resolution first — the order MultipleOutputLoss2's
+            # 2^-i weights assume (tested in tests/test_losses_extended.py)
+            return [to_channels_first(head(outs[-1 - j], f"head{j}").astype(jnp.float32))
+                    for j in range(len(outs))]
         logits = head(outs[-1], "head0")
         return to_channels_first(logits.astype(jnp.float32))
 

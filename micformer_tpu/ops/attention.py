@@ -44,31 +44,45 @@ def multi_head_attention(
     """softmax(q·kᵀ·scale + bias + mask)·v over batched windows.
 
     Args:
-      q: [N, h, Tq, d]; k, v: [N, h, Tk, d]. N = B·nWindows (or any batch).
+      q: [N, Tq, h, d]; k, v: [N, Tk, h, d]. N = B·nWindows (or any batch).
+        The head axis lives INSIDE the token layout (split_heads is a pure
+        reshape): the profiled [N,h,T,d] layout forced XLA to materialize
+        pre/post transposes of every q/k/v/out tensor (~8% of the MicFormer
+        forward); in [N,T,h,d] the batched matmuls relayout internally only
+        where the MXU actually needs it.
       bias: optional [h, Tq, Tk] (relative-position bias) — broadcast over N.
       mask: optional [nW, Tq, Tk] shifted-window mask with nW dividing N;
         applied per window position within each batch element (Swin semantics).
       scale: q scaling; default d**-0.5 (reference uses head_dim**-0.5).
 
-    Returns [N, h, Tq, d]. Accumulates logits/softmax in float32 and casts the
-    output back to q.dtype (bf16-safe).
+    Returns [N, Tq, h, d]. Accumulates logits in float32 and stores the
+    unnormalized softmax in v.dtype (bf16-safe).
     """
-    N, h, Tq, d = q.shape
+    N, Tq, h, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    if USE_FUSED and Tq == k.shape[2]:
+    if USE_FUSED and Tq == k.shape[1]:
         from micformer_tpu.ops.pallas.window_attention import (
             fused_window_attention,
             should_use_fused,
         )
 
         if should_use_fused(Tq, d, bias, mask):
-            return fused_window_attention(q, k, v, scale)
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    attn = jnp.einsum("nhqd,nhkd->nhqk", qf, kf)
+            out = fused_window_attention(q.transpose(0, 2, 1, 3),
+                                         k.transpose(0, 2, 1, 3),
+                                         v.transpose(0, 2, 1, 3), scale)
+            return out.transpose(0, 2, 1, 3)
+    # logits dtype: f32 models keep exact f32 math (parity tests); bf16 models
+    # store logits in bf16 — the MXU accumulates the d-contraction in f32
+    # either way, and the [N,h,Tq,Tk] HBM round-trip halves. Softmax max-sub
+    # keeps bf16 exp well-conditioned.
+    acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    qf = q.astype(acc_t) * jnp.asarray(scale, acc_t)
+    kf = k.astype(acc_t)
+    attn = jnp.einsum("nqhd,nkhd->nhqk", qf, kf,
+                      preferred_element_type=acc_t)
     if bias is not None:
-        attn = attn + bias.astype(jnp.float32)[None]
+        attn = attn + bias.astype(acc_t)[None]
     if mask is not None:
         nW = mask.shape[0]
         attn = attn.reshape(N // nW, nW, h, Tq, -1)
@@ -76,23 +90,35 @@ def multi_head_attention(
             # compact region-id form [nW, T] (see windows.shifted_window_region_ids):
             # pairwise -100 mask built in-graph, fuses into the softmax
             ids = jnp.asarray(mask)
-            pair = jnp.where(ids[:, :, None] == ids[:, None, :], 0.0, -100.0)
+            pair = jnp.where(ids[:, :, None] == ids[:, None, :],
+                             jnp.asarray(0.0, acc_t), jnp.asarray(-100.0, acc_t))
             attn = attn + pair[None, :, None]
         else:
-            attn = attn + jnp.asarray(mask).astype(jnp.float32)[None, :, None]
+            attn = attn + jnp.asarray(mask).astype(acc_t)[None, :, None]
         attn = attn.reshape(N, h, Tq, -1)
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("nhqk,nhkd->nhqd", attn.astype(v.dtype), v)
+    # softmax with the normalization folded AFTER the PV matmul:
+    #   softmax(a) @ V == (exp(a - max) @ V) / sum(exp(a - max))
+    # The unnormalized exp is stored in v.dtype (bf16 halves the [N,h,Tq,Tk]
+    # HBM round-trip — profiled at ~10% of the MicFormer forward), the
+    # denominator reduces in f32, and the divide rides on the smaller
+    # [N,h,Tq,d] output. Exactly the f32 math when v is f32 (parity tests).
+    m = jax.lax.stop_gradient(jnp.max(attn, axis=-1, keepdims=True))
+    p = jnp.exp(attn - m).astype(v.dtype)
+    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    out = jnp.einsum("nhqk,nkhd->nqhd", p, v)
+    # denom is [N,h,Tq,1] -> align to [N,Tq,h,1]
+    out = out / denom.transpose(0, 2, 1, 3).astype(v.dtype)
     return out.astype(q.dtype)
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """[N, T, C] -> [N, h, T, C//h]."""
+    """[N, T, C] -> [N, T, h, C//h] — a pure reshape (no transpose; see
+    multi_head_attention's layout note)."""
     N, T, C = x.shape
-    return x.reshape(N, T, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+    return x.reshape(N, T, num_heads, C // num_heads)
 
 
 def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
-    """[N, h, T, d] -> [N, T, h*d]."""
-    N, h, T, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(N, T, h * d)
+    """[N, T, h, d] -> [N, T, h*d] — a pure reshape."""
+    N, T, h, d = x.shape
+    return x.reshape(N, T, h * d)

@@ -18,7 +18,86 @@ dynamic-gathers. Out-of-range corners contribute 0 (zeros padding parity).
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import jax
 import jax.numpy as jnp
+
+# block-gather path (one lax.gather of 2x2x2xC slices + shifted-weight
+# algebra) vs the 8-corner path (8 independent row gathers). The block form
+# is the default: the 8-corner gathers were the profiled #1 cost of the
+# MicFormer forward (~29% — row-count-bound, not byte-bound).
+USE_BLOCK_GATHER = os.environ.get("MICFORMER_WARP_BLOCK_GATHER", "1") == "1"
+
+
+def _axis_pair_weights(c0, frac, size):
+    """Per-axis lerp weights ALIGNED TO THE CLAMPED-FETCH block.
+
+    For floor index c0 with fraction frac on an axis of extent `size`, the
+    fetch starts at c0c = clip(c0, 0, size-2) and covers [c0c, c0c+1]. The
+    desired contribution of true corners (c0, c0+1) with weights
+    (1-frac, frac) — zeroed outside [0, size) — maps onto the fetched slots by
+    the shift delta = c0 - c0c: w_fetched[k] = w_true[k - delta]."""
+    delta = c0 - jnp.clip(c0, 0, size - 2)
+    w0 = (1.0 - frac) * ((c0 >= 0) & (c0 < size))
+    w1 = frac * ((c0 + 1 >= 0) & (c0 + 1 < size))
+    # w_fetched[k] = w_true[k - delta]:  k=0 -> {0: w0, -1: w1},
+    #                                    k=1 -> {0: w1, +1: w0}; else 0.
+    f0 = jnp.where(delta == 0, w0, 0.0) + jnp.where(delta == -1, w1, 0.0)
+    f1 = jnp.where(delta == 0, w1, 0.0) + jnp.where(delta == 1, w0, 0.0)
+    return f0, f1
+
+
+def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """trilinear_sample via ONE gather of [2,2,2,C] blocks per output point.
+
+    Equivalent math to the 8-corner form: fetch the 2x2x2 neighborhood at
+    clamped starts, shift the per-axis lerp weights by the clamp delta
+    (zero-padding parity preserved — out-of-range corners get zero weight).
+    """
+    B, D, H, W, C = src.shape
+    cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
+    out_spatial = cz.shape[1:]
+    N = int(np.prod(out_spatial)) if out_spatial else 1
+
+    z0 = jnp.floor(cz)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fz, fy, fx = cz - z0, cy - y0, cx - x0
+    z0 = z0.astype(jnp.int32).reshape(B, N)
+    y0 = y0.astype(jnp.int32).reshape(B, N)
+    x0 = x0.astype(jnp.int32).reshape(B, N)
+
+    wz0, wz1 = _axis_pair_weights(z0, fz.reshape(B, N), D)
+    wy0, wy1 = _axis_pair_weights(y0, fy.reshape(B, N), H)
+    wx0, wx1 = _axis_pair_weights(x0, fx.reshape(B, N), W)
+
+    starts = jnp.stack([jnp.clip(z0, 0, D - 2),
+                        jnp.clip(y0, 0, H - 2),
+                        jnp.clip(x0, 0, W - 2)], axis=-1)  # [B, N, 3]
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2),
+    )
+
+    def gather_one(vol, idx):
+        return jax.lax.gather(
+            vol, idx, dnums, slice_sizes=(2, 2, 2, C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # [N, 2, 2, 2, C]
+
+    blocks = jax.vmap(gather_one)(src, starts)  # [B, N, 2, 2, 2, C]
+
+    wz = jnp.stack([wz0, wz1], -1).astype(src.dtype)  # [B, N, 2]
+    wy = jnp.stack([wy0, wy1], -1).astype(src.dtype)
+    wx = jnp.stack([wx0, wx1], -1).astype(src.dtype)
+    w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+         * wx[:, :, None, None, :])                    # [B, N, 2, 2, 2]
+    out = jnp.sum(blocks * w[..., None], axis=(2, 3, 4))  # [B, N, C]
+    return out.reshape((B,) + out_spatial + (C,))
 
 
 def trilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -32,6 +111,8 @@ def trilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     Returns [B, Do, Ho, Wo, C].
     """
     B, D, H, W, C = src.shape
+    if USE_BLOCK_GATHER and min(D, H, W) >= 2:
+        return _trilinear_sample_block(src, coords)
     cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
 
     z0 = jnp.floor(cz)
@@ -61,7 +142,10 @@ def trilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         wz = jnp.where(dz == 1, fz, 1.0 - fz)
         wy = jnp.where(dy == 1, fy, 1.0 - fy)
         wx = jnp.where(dx == 1, fx, 1.0 - fx)
-        w = (wz * wy * wx) * valid.astype(src.dtype)
+        # weights follow src dtype: in bf16 the gather+lerp moves half the HBM
+        # bytes (the stage-0 warp is the profiled top cost — 8 corner gathers
+        # of [B,32^3,48] per cross block); f32 inputs keep f32 math exactly.
+        w = ((wz * wy * wx) * valid).astype(src.dtype)
         return vals * w[..., None]
 
     out = corner(0, 0, 0)

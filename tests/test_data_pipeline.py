@@ -115,3 +115,27 @@ def test_transforms_parity(rng):
         key, jnp.array(img[None].repeat(2, 0)), jnp.array(lab[None].repeat(2, 0))
     )
     assert b_img.shape == (2, 2, 6, 6, 6)
+
+
+def test_loader_multiworker_deterministic():
+    """workers>1 parallelizes sample fetch WITHIN a batch; batch contents and
+    order must be identical to the single-thread loader."""
+    from micformer_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {"image": rng.normal(size=(2, 4, 4, 4)).astype(np.float32),
+                    "label": np.full((4, 4, 4), i % 3, np.uint8),
+                    "patient_id": str(i)}
+
+    a = DataLoader(DS(), batch_size=3, shuffle=True, seed=5, device_put=False)
+    b = DataLoader(DS(), batch_size=3, shuffle=True, seed=5, device_put=False,
+                   workers=4)
+    for (ia, la, ma), (ib, lb, mb) in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        assert ma["patient_id"] == mb["patient_id"]

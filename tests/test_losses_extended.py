@@ -70,3 +70,61 @@ def test_model_selection():
     assert not out["is_ensemble"]
     assert mean_fg_dice(agg(0.5)) == pytest.approx(0.5)
     assert candidate_ensembles(["a", "b", "c"]) == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_deep_supervision_matches_torch_multiple_output_loss2(rng):
+    """deep_supervision_loss == torch MultipleOutputLoss2 with nnU-Net's
+    normalized 2^-i weights (deep_supervision.py:19-46) and nearest-downsampled
+    targets, highest resolution first."""
+    import torch
+    import jax.numpy as jnp
+    from micformer_tpu.losses.dice import deep_supervision_loss
+
+    C = 3
+    shapes = [(1, C, 8, 8, 8), (1, C, 4, 4, 4), (1, C, 2, 2, 2)]
+    pyramid = [rng.normal(size=s).astype(np.float32) for s in shapes]
+    target = rng.normal(size=shapes[0]).astype(np.float32)
+
+    mse = lambda lg, t: jnp.mean((lg - t) ** 2)
+    got = float(deep_supervision_loss([jnp.asarray(p) for p in pyramid],
+                                      jnp.asarray(target), loss_fn=mse))
+
+    # torch oracle: MultipleOutputLoss2 with explicit normalized weights
+    import sys
+    sys.path.insert(0, "/root/reference/MedNeXt")
+    try:
+        from nnunet_mednext.training.loss_functions.deep_supervision import (
+            MultipleOutputLoss2,
+        )
+    except Exception:
+        MultipleOutputLoss2 = None
+    finally:
+        sys.path.pop(0)
+    w = np.array([2.0 ** (-i) for i in range(3)])
+    w = w / w.sum()
+    targets = [target, target[:, :, ::2, ::2, ::2], target[:, :, ::4, ::4, ::4]]
+    tmse = lambda a, b: torch.mean((a - b) ** 2)
+    if MultipleOutputLoss2 is not None:
+        mol = MultipleOutputLoss2(tmse, weight_factors=list(w))
+        want = float(mol([torch.from_numpy(p) for p in pyramid],
+                         [torch.from_numpy(t) for t in targets]))
+    else:  # reference unavailable: inline oracle with the same algebra
+        want = float(sum(wi * np.mean((p - t) ** 2)
+                         for wi, p, t in zip(w, pyramid, targets)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_nnformer_ds_pyramid_highest_res_first():
+    import jax
+    import jax.numpy as jnp
+    from micformer_tpu import registry
+
+    model = registry.build("nnformer", num_classes=3, embed_dim=24,
+                           deep_supervision=True)
+    x = jnp.zeros((1, 2, 32, 32, 32), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert isinstance(out, (list, tuple))
+    sizes = [o.shape[2] for o in out]
+    assert sizes == sorted(sizes, reverse=True), sizes
+    assert out[0].shape[2:] == (32, 32, 32)

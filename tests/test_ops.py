@@ -66,31 +66,32 @@ def test_relative_position_index_properties():
 
 
 def test_attention_matches_numpy(rng):
-    N, h, T, d = 3, 2, 8, 4
-    q = rng.normal(size=(N, h, T, d)).astype(np.float32)
-    k = rng.normal(size=(N, h, T, d)).astype(np.float32)
-    v = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    # layout [N, T, h, d] (split_heads is a pure reshape — see ops/attention.py)
+    N, T, h, d = 3, 8, 2, 4
+    q = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    k = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    v = rng.normal(size=(N, T, h, d)).astype(np.float32)
     out = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
-    logits = np.einsum("nhqd,nhkd->nhqk", q * d ** -0.5, k)
+    logits = np.einsum("nqhd,nkhd->nhqk", q * d ** -0.5, k)
     p = np.exp(logits - logits.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
-    expect = np.einsum("nhqk,nhkd->nhqd", p, v)
+    expect = np.einsum("nhqk,nkhd->nqhd", p, v)
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
 
 
 def test_attention_mask_blocks_cross_region(rng):
-    N, h, T, d = 4, 1, 4, 4
-    q = rng.normal(size=(N, h, T, d)).astype(np.float32)
-    k = rng.normal(size=(N, h, T, d)).astype(np.float32)
-    v = rng.normal(size=(N, h, T, d)).astype(np.float32)
+    N, T, h, d = 4, 4, 1, 4
+    q = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    k = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    v = rng.normal(size=(N, T, h, d)).astype(np.float32)
     # mask out tokens 2,3 from 0,1 in both windows (nW=2, batch=2)
     mask = np.zeros((2, T, T), np.float32)
     mask[:, :2, 2:] = -1e9
     mask[:, 2:, :2] = -1e9
     out = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask=jnp.asarray(mask))
     # block-diagonal attention == attention restricted to each half
-    out_a = multi_head_attention(jnp.asarray(q[:, :, :2]), jnp.asarray(k[:, :, :2]), jnp.asarray(v[:, :, :2]))
-    np.testing.assert_allclose(np.asarray(out[:, :, :2]), np.asarray(out_a), atol=1e-5)
+    out_a = multi_head_attention(jnp.asarray(q[:, :2]), jnp.asarray(k[:, :2]), jnp.asarray(v[:, :2]))
+    np.testing.assert_allclose(np.asarray(out[:, :2]), np.asarray(out_a), atol=1e-5)
 
 
 def test_split_merge_heads_roundtrip(rng):
@@ -171,3 +172,21 @@ def test_adjust_window_shift_clamps():
     ws, ss = W.adjust_window_shift((2, 8, 8), (4, 4, 4), (2, 2, 2))
     assert ws == (2, 4, 4) and ss == (0, 2, 2)
     assert W.adjust_window_shift((2, 8, 8), (4, 4, 4)) == (2, 4, 4)
+
+
+def test_trilinear_block_gather_matches_corner_path(rng):
+    """The block-gather sampler (one lax.gather of 2x2x2xC slices + shifted
+    weights) must equal the 8-corner reference path, including out-of-range
+    coordinates (zeros padding parity)."""
+    src = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
+    coords = rng.uniform(-3.0, 9.0, size=(2, 3, 4, 4, 4)).astype(np.float32)
+    coords = jnp.asarray(coords)
+    block = warp_ops._trilinear_sample_block(src, coords)
+
+    orig = warp_ops.USE_BLOCK_GATHER
+    warp_ops.USE_BLOCK_GATHER = False
+    try:
+        corner = warp_ops.trilinear_sample(src, coords)
+    finally:
+        warp_ops.USE_BLOCK_GATHER = orig
+    np.testing.assert_allclose(np.asarray(block), np.asarray(corner), atol=1e-5)

@@ -13,11 +13,15 @@ from micformer_tpu.ops.attention import multi_head_attention
 
 
 def _reference(q, k, v, scale=None):
+    # kernel contract is [N,h,T,d]; multi_head_attention takes [N,T,h,d]
     attention_mod_prev = attention_mod.USE_FUSED
     attention_mod.USE_FUSED = False
     try:
-        return multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                                    scale=scale)
+        out = multi_head_attention(jnp.asarray(q).transpose(0, 2, 1, 3),
+                                   jnp.asarray(k).transpose(0, 2, 1, 3),
+                                   jnp.asarray(v).transpose(0, 2, 1, 3),
+                                   scale=scale)
+        return out.transpose(0, 2, 1, 3)
     finally:
         attention_mod.USE_FUSED = attention_mod_prev
 
