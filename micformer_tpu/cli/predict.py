@@ -72,11 +72,16 @@ def main(argv=None):
     p.add_argument("--overlap", type=float, default=0.5)
     p.add_argument("--sw-batch-size", type=int, default=2)
     p.add_argument("--step-mode", default="monai", choices=["monai", "nnunet"])
-    p.add_argument("--engine", default="3d", choices=["3d", "2d", "p3d"],
+    p.add_argument("--engine", default="3d",
+                   choices=["3d", "2d", "p3d", "spatial"],
                    help="3d: volumetric tiles; 2d: slice-by-slice 2D tiling; "
                         "p3d: pseudo-3D neighborhood-as-channels "
-                        "(neural_network.py:429-822 variants). 2d/p3d need a "
-                        "2D-capable model (e.g. generic_unet with a 2D plan)")
+                        "(neural_network.py:429-822 variants; both need a "
+                        "2D-capable model); spatial: ONE whole-volume forward "
+                        "sharded over the mesh 'space' axis with conv halo "
+                        "exchange (>HBM volumes; generic_unet only)")
+    p.add_argument("--spatial-shards", type=int, default=None,
+                   help="device count for --engine spatial (default: all)")
     p.add_argument("--pseudo3d-slices", type=int, default=5)
     p.add_argument("--mirror-tta", action="store_true")
     p.add_argument("--largest-cc", action="store_true")
@@ -120,6 +125,14 @@ def main(argv=None):
             return jax.jit(functools.partial(
                 sliding_window_inference, roi_size=(args.roi,) * 3,
                 predictor=predictor, **common))
+        if args.engine == "spatial":
+            from micformer_tpu.parallel import make_mesh
+            from micformer_tpu.parallel.spatial import spatial_sharded_apply
+
+            n = args.spatial_shards or len(jax.devices())
+            mesh = make_mesh(space=n)
+            return functools.partial(spatial_sharded_apply, model,
+                                     {"params": params}, mesh=mesh)
         from micformer_tpu.infer.sliding_window_2d import (
             sliding_window_inference_2d,
             sliding_window_inference_pseudo3d,

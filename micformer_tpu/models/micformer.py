@@ -34,6 +34,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -150,6 +151,48 @@ class DualStreamStage(nn.Module):
         return x, xa, x, xa
 
 
+def _composed_head_kernel(k1, k2):
+    """Compose ConvTranspose(k=s=p) kernel k1 [p,p,p,I,O] with a SAME 3^3
+    conv kernel k2 [3,3,3,O,C] into ONE transposed-conv kernel
+    [p+2,p+2,p+2,I,C] (both ops are linear with nothing between them).
+    flax ConvTranspose applies its kernel FLIPPED — y[q] = sum_m x[m]
+    K[s*m + k-1 - q] — so the composition is a correlation of k1 with k2:
+      conv3(convT(x; k1); k2)[t] = convT(x; Kc)[t+1],
+      Kc[a] = sum_j k1[a - j] @ k2[j]   (zero outside k1's support).
+    The fused form skips the full-resolution O-channel intermediate — the
+    profiled ~12% tail of the forward (layout copies + a second 128^3 pass).
+    """
+    p = k1.shape[0]
+    k1p = jnp.pad(k1.astype(jnp.float32),
+                  ((2, 2), (2, 2), (2, 2), (0, 0), (0, 0)))
+    kc = None
+    for jz in range(3):
+        for jy in range(3):
+            for jx in range(3):
+                sl = k1p[2 - jz:2 - jz + p + 2,
+                         2 - jy:2 - jy + p + 2,
+                         2 - jx:2 - jx + p + 2]
+                term = jnp.einsum("dhwio,oc->dhwic", sl,
+                                  k2[jz, jy, jx].astype(jnp.float32))
+                kc = term if kc is None else kc + term
+    return kc
+
+
+def _composed_head_bias_field(b1, k2, out_spatial):
+    """Border-exact contribution of the ConvTranspose bias b1 through the
+    SAME-padded 3^3 conv: interior voxels see sum_j k2[j]@b1, voxels on a face
+    lose the j-taps whose reach falls outside. Factorizes per axis."""
+    t = jnp.einsum("zyxoc,o->zyxc", k2.astype(jnp.float32),
+                   b1.astype(jnp.float32))  # [3,3,3,C]
+    vs = []
+    for s in out_spatial:
+        v = np.ones((3, s), np.float32)
+        v[0, 0] = 0.0       # j=0 reaches p-1 < 0 at p=0
+        v[2, s - 1] = 0.0   # j=2 reaches p+1 >= s at p=s-1
+        vs.append(jnp.asarray(v))
+    return jnp.einsum("zyxc,zp,yq,xr->pqrc", t, *vs)
+
+
 class MicFormer(nn.Module):
     """Head + MicFormer U-shape (:881-1055). Input [B, 2, D, H, W] (CT, MR)."""
 
@@ -162,6 +205,9 @@ class MicFormer(nn.Module):
     drop_path_rate: float = 0.2
     faithful_grid: bool = True
     use_remat: bool = False
+    # fuse reverse_patch_embed + out_conv into one transposed conv (exact
+    # weight-level composition; same param tree, tested vs the 2-op path)
+    fused_head: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -222,11 +268,32 @@ class MicFormer(nn.Module):
 
         out = jnp.concatenate([moving, fixed], axis=-1)          # 2E
         out = nn.LayerNorm(dtype=self.dtype, name="norm2")(out)
-        out = nn.ConvTranspose(self.embed_dim // 2, self.patch_size,
+        rpe = nn.ConvTranspose(self.embed_dim // 2, self.patch_size,
                                strides=self.patch_size, padding="VALID",
-                               dtype=self.dtype, name="reverse_patch_embed")(out)
-        out = nn.Conv(self.num_classes, (3, 3, 3), padding=1, dtype=self.dtype,
-                      name="out_conv")(out)
+                               dtype=self.dtype, name="reverse_patch_embed")
+        oc = nn.Conv(self.num_classes, (3, 3, 3), padding=1, dtype=self.dtype,
+                     name="out_conv")
+        if self.fused_head:
+            # materialize both modules' params via 1-voxel dummy calls (keeps
+            # the param tree identical to the 2-op path / torch transplant),
+            # then run the single composed transposed conv.
+            _ = rpe(jnp.zeros((1, 1, 1, 1, out.shape[-1]), self.dtype))
+            _ = oc(jnp.zeros((1, 1, 1, 1, self.embed_dim // 2), self.dtype))
+            k1 = rpe.variables["params"]["kernel"]
+            b1 = rpe.variables["params"]["bias"]
+            k2 = oc.variables["params"]["kernel"]
+            b2 = oc.variables["params"]["bias"]
+            kc = _composed_head_kernel(k1, k2).astype(self.dtype)
+            # conv_transpose pads the s-dilated input: full output (k-1,k-1);
+            # the composition is offset by one voxel -> trim with (k-2,k-2)
+            pad = tuple((k - 2, k - 2) for k in kc.shape[:3])
+            out = jax.lax.conv_transpose(
+                out, kc, strides=self.patch_size, padding=pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            field = _composed_head_bias_field(b1, k2, out.shape[1:4])
+            out = out + (field + b2.astype(jnp.float32)).astype(self.dtype)[None]
+        else:
+            out = oc(rpe(out))
         return to_channels_first(out.astype(jnp.float32))
 
 

@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import os as _os
 
 USE_FUSED = _os.environ.get("MICFORMER_FUSED_ATTENTION", "0") == "1"
+# head-loop variant for few-heads tiny-window attention: per-head lane-sliced
+# 3D einsums instead of one 4D batched einsum — avoids materializing the
+# [N,T,h,d] relayout copies XLA inserts for the (n,h)-batched dot.
+HEAD_LOOP_MAX = int(_os.environ.get("MICFORMER_ATTN_HEADLOOP_MAX", "4"))
 
 
 def multi_head_attention(
@@ -79,6 +83,8 @@ def multi_head_attention(
     acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     qf = q.astype(acc_t) * jnp.asarray(scale, acc_t)
     kf = k.astype(acc_t)
+    if h <= HEAD_LOOP_MAX and bias is None and mask is None and Tq <= 16:
+        return _head_loop_attention(qf, kf, v, acc_t).astype(q.dtype)
     attn = jnp.einsum("nqhd,nkhd->nhqk", qf, kf,
                       preferred_element_type=acc_t)
     if bias is not None:
@@ -109,6 +115,24 @@ def multi_head_attention(
     # denom is [N,h,Tq,1] -> align to [N,Tq,h,1]
     out = out / denom.transpose(0, 2, 1, 3).astype(v.dtype)
     return out.astype(q.dtype)
+
+
+def _head_loop_attention(qf, kf, v, acc_t):
+    """Per-head attention on [N,T,h,d] via lane slices (3D einsums). Same math
+    as the batched path — used for h <= HEAD_LOOP_MAX unbiased/unmasked tiny
+    windows, where the 4D batched dot's operand relayouts dominate."""
+    N, Tq, h, d = qf.shape
+    outs = []
+    for i in range(h):
+        qh, kh, vh = qf[:, :, i], kf[:, :, i], v[:, :, i]      # [N, T, d]
+        a = jnp.einsum("nqd,nkd->nqk", qh, kh,
+                       preferred_element_type=acc_t)
+        m = jax.lax.stop_gradient(jnp.max(a, axis=-1, keepdims=True))
+        p = jnp.exp(a - m).astype(v.dtype)
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.einsum("nqk,nkd->nqd", p, vh) / denom.astype(v.dtype)
+        outs.append(o)
+    return jnp.stack(outs, axis=2)  # [N, T, h, d]
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:

@@ -60,3 +60,22 @@ def test_unet3d_jit_grad():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_micformer_fused_head_matches_two_op_path(rng):
+    """The composed transposed-conv head must equal ConvTranspose+Conv3^3
+    exactly (same params — the trees are identical by construction)."""
+    import jax
+    import jax.numpy as jnp
+    from micformer_tpu.models.micformer import MicFormer
+
+    kw = dict(num_classes=3, embed_dim=8, depths=(1, 1), num_heads=(2, 4),
+              drop_path_rate=0.0)
+    fused = MicFormer(fused_head=True, **kw)
+    plain = MicFormer(fused_head=False, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 2, 16, 16, 16)).astype(np.float32))
+    variables = jax.jit(fused.init)(jax.random.key(0), x)
+    a = fused.apply(variables, x)
+    b = plain.apply(variables, x)
+    assert a.shape == b.shape == (1, 3, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
