@@ -110,6 +110,7 @@ def main(argv=None):
         augment=cfg.train.augment,
         num_modalities=((1 if cfg.data.single_modal else 2)
                         if cfg.train.cascade_prev_seg_dir else None),
+        pretrained=cfg.train.pretrained,
         roi=tuple(cfg.infer.roi),
         sw_overlap=cfg.infer.overlap,
         sw_batch_size=cfg.infer.sw_batch_size,

@@ -64,6 +64,9 @@ class TrainerConfig:
     # appends one-hot channels + pyramid augmentations
     # (nnUNetTrainerV2_CascadeFullRes)
     cascade_prev_seg_dir: str | None = None
+    # seed weights from another run's checkpoint (non-strict, heads excluded —
+    # nnU-Net run/load_pretrained_weights.py parity); "run_dir" or "run_dir:tag"
+    pretrained: str | None = None
 
 
 @dataclass
@@ -173,6 +176,10 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
                    help="nnU-Net patch training: fraction of patches forced "
                         "to contain foreground (dataset_loading.py:158; 0.33 "
                         "is the nnU-Net default)")
+    p.add_argument("--pretrained", default=None,
+                   help="run dir (or run_dir:tag) whose checkpoint seeds the "
+                        "model: matching-shape weights transfer, segmentation "
+                        "heads do not (run/load_pretrained_weights.py parity)")
     p.add_argument("--cascade-prev-seg-dir", default=None,
                    help="cascade fullres stage: dir of "
                         "<pid>_segFromPrevStage.npy files from the lowres "
@@ -214,6 +221,7 @@ _ARG_MAP = {
     "mesh": ("train", "mesh"),
     "oversample_fg": ("train", "oversample_fg"),
     "cascade_prev_seg_dir": ("train", "cascade_prev_seg_dir"),
+    "pretrained": ("train", "pretrained"),
 }
 
 

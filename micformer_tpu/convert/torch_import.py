@@ -413,3 +413,49 @@ def vtunet_params_from_swin2d(state_dict, params, *, depths=(2, 2, 2, 1),
             if inx >= 1:
                 load_block(src, f"dec{inx}_b{b}")
     return params, report
+
+
+# ---------------------------------------------------------------------------
+# Generic non-strict pretrained-weight transfer (nnU-Net load_pretrained_weights)
+# ---------------------------------------------------------------------------
+
+def load_pretrained_params(params, pretrained, skip_heads: bool = True,
+                           head_markers=("seg", "head", "out_conv")):
+    """nnU-Net `run/load_pretrained_weights.py` semantics for flax trees:
+    copy every leaf whose path exists in `pretrained` with a matching shape;
+    segmentation heads are NOT transferred by default ("THIS DOES NOT
+    TRANSFER SEGMENTATION HEADS!"). Returns (params, report).
+
+    Both arguments are nested param dicts (e.g. restored from another run's
+    orbax checkpoint, possibly trained with a different num_classes).
+    """
+    import copy as _copy
+
+    out = _copy.deepcopy(params)
+    report = {"loaded": [], "skipped": [], "missing": []}
+
+    def walk(dst, src, path):
+        for key, dval in dst.items():
+            p = path + (key,)
+            if isinstance(dval, dict):
+                if isinstance(src.get(key), dict):
+                    walk(dval, src[key], p)
+                else:
+                    report["missing"].append("/".join(p))
+                continue
+            if skip_heads and any(m in seg for seg in p for m in head_markers):
+                report["skipped"].append("/".join(p) + ": head (not transferred)")
+                continue
+            sval = src.get(key)
+            if sval is None:
+                report["missing"].append("/".join(p))
+            elif tuple(np.shape(sval)) != tuple(np.shape(dval)):
+                report["skipped"].append(
+                    f"{'/'.join(p)}: ckpt{tuple(np.shape(sval))} != "
+                    f"model{tuple(np.shape(dval))}")
+            else:
+                dst[key] = np.asarray(sval, dtype=np.asarray(dval).dtype)
+                report["loaded"].append("/".join(p))
+
+    walk(out, pretrained, ())
+    return out, report

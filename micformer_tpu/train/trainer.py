@@ -87,6 +87,10 @@ class TrainConfig:
     patience: int | None = None
     patience_min_delta: float = 5e-4
     val_metric_alpha: float = 0.9  # nnU-Net's EMA of the val metric
+    # "run_dir" or "run_dir:tag": seed weights from another run's checkpoint,
+    # non-strict + heads excluded (nnU-Net run/load_pretrained_weights.py);
+    # a live resume checkpoint takes precedence.
+    pretrained: str | None = None
 
 
 class TrainState(struct.PyTreeNode):
@@ -338,6 +342,19 @@ class Trainer:
         n_params = count_parameters(state.params)
         print(f"model parameters: {n_params:,}")
         self._log({"n_parameters": n_params})
+
+        if cfg.pretrained:
+            from micformer_tpu.convert.torch_import import load_pretrained_params
+
+            src_dir, _, tag = str(cfg.pretrained).partition(":")
+            src = CheckpointManager(src_dir).restore_params_only(tag or "best_dice")
+            new_params, report = load_pretrained_params(
+                jax.tree.map(np.asarray, state.params), src)
+            state = state.replace(params=jax.tree.map(jnp.asarray, new_params))
+            print(f"pretrained from {src_dir}: {len(report['loaded'])} tensors "
+                  f"loaded, {len(report['skipped'])} skipped, "
+                  f"{len(report['missing'])} missing")
+            self._log({"pretrained": {k: len(v) for k, v in report.items()}})
 
         start_epoch = 0
         best_dice, best_loss = -1.0, float("inf")

@@ -123,3 +123,27 @@ def test_vtunet_inflation_drops_mismatches(vtunet_params):
     assert any("enc0_b0/attn/qkv" in s for s in report["skipped"])
     np.testing.assert_array_equal(new["enc0_b0"]["attn"]["qkv"]["kernel"],
                                   params["enc0_b0"]["attn"]["qkv"]["kernel"])
+
+
+def test_load_pretrained_params_nonstrict(vtunet_params):
+    """nnU-Net load_pretrained_weights semantics: matching leaves copied,
+    heads skipped, shape mismatches dropped."""
+    from micformer_tpu.convert.torch_import import load_pretrained_params
+
+    _, params = vtunet_params
+    src = {k: v for k, v in params.items()}
+    import copy
+    src = copy.deepcopy(params)
+    src["enc0_b0"]["norm1"]["scale"] = src["enc0_b0"]["norm1"]["scale"] + 7.0
+    src["head"]["kernel"] = src["head"]["kernel"] + 7.0
+    src["enc1_b0"]["attn"]["qkv"]["kernel"] = np.zeros((2, 2), np.float32)
+
+    out, report = load_pretrained_params(params, src)
+    np.testing.assert_allclose(out["enc0_b0"]["norm1"]["scale"],
+                               np.asarray(params["enc0_b0"]["norm1"]["scale"]) + 7.0)
+    # head untouched
+    np.testing.assert_array_equal(out["head"]["kernel"], params["head"]["kernel"])
+    assert any("head" in s for s in report["skipped"])
+    # shape mismatch dropped
+    np.testing.assert_array_equal(out["enc1_b0"]["attn"]["qkv"]["kernel"],
+                                  params["enc1_b0"]["attn"]["qkv"]["kernel"])

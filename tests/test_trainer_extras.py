@@ -33,3 +33,45 @@ def test_find_lr_sweeps(tmp_path):
     assert len(lrs) == len(losses) == 8
     assert lrs[0] < lrs[-1]
     assert all(np.isfinite(losses))
+
+
+def test_pretrained_seeding_transfers_body_not_head(tmp_path):
+    """--pretrained: body weights transfer from another run's checkpoint,
+    segmentation heads stay at init (load_pretrained_weights.py parity)."""
+    import jax
+    import jax.numpy as jnp
+    from micformer_tpu import registry
+    from micformer_tpu.train import Trainer, TrainConfig
+    from micformer_tpu.train.checkpoint import CheckpointManager
+    from micformer_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {"image": rng.normal(size=(1, 16, 16, 16)).astype(np.float32),
+                    "label": rng.integers(0, 3, (16, 16, 16)).astype(np.uint8),
+                    "patient_id": str(i)}
+
+    model = registry.build("unet3d", num_classes=3, channels=(2, 4, 8))
+    # donor run: save a checkpoint with recognizably-shifted weights
+    donor = Trainer(model, TrainConfig(epochs=1, num_classes=3, augment="none",
+                                       run_dir=str(tmp_path / "donor")))
+    st = donor.init_state((1, 1, 16, 16, 16))
+    shifted = jax.tree.map(lambda a: a + 1.0, st.params)
+    donor.ckpt.save("best_dice", {"params": shifted, "opt_state": st.opt_state,
+                                  "step": st.step, "epoch": 0,
+                                  "best_dice": 0.0, "best_loss": 0.0})
+
+    trainer = Trainer(model, TrainConfig(
+        epochs=1, val_every=10, num_classes=3, augment="none",
+        run_dir=str(tmp_path / "run"), pretrained=str(tmp_path / "donor")))
+    loader = DataLoader(DS(), batch_size=1, device_put=False)
+    state = trainer.fit(loader)
+
+    import json
+    log = [json.loads(l) for l in open(tmp_path / "run" / "log.jsonl")]
+    rep = next(l["pretrained"] for l in log if "pretrained" in l)
+    assert rep["loaded"] > 0 and rep["skipped"] > 0
