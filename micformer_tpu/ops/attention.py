@@ -34,6 +34,10 @@ USE_FUSED = _os.environ.get("MICFORMER_FUSED_ATTENTION", "0") == "1"
 # 3D einsums instead of one 4D batched einsum — avoids materializing the
 # [N,T,h,d] relayout copies XLA inserts for the (n,h)-batched dot.
 HEAD_LOOP_MAX = int(_os.environ.get("MICFORMER_ATTN_HEADLOOP_MAX", "4"))
+# Pallas v2 whole-window-row kernel (ops/pallas/window_attention_v2.py):
+# VPU-only fused QK/softmax/PV for T<=8 windows — q/k/v read once, out
+# written once, no relayouts or logit round-trips. A/B-gated.
+USE_V2 = _os.environ.get("MICFORMER_ATTENTION_V2", "0") == "1"
 
 
 def multi_head_attention(
@@ -80,6 +84,14 @@ def multi_head_attention(
     # store logits in bf16 — the MXU accumulates the d-contraction in f32
     # either way, and the [N,h,Tq,Tk] HBM round-trip halves. Softmax max-sub
     # keeps bf16 exp well-conditioned.
+    if USE_V2 and Tq == k.shape[1]:
+        from micformer_tpu.ops.pallas.window_attention_v2 import (
+            should_use_v2,
+            window_attention_v2,
+        )
+
+        if should_use_v2(Tq, h, d, bias, mask):
+            return window_attention_v2(q, k, v, scale)
     acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     qf = q.astype(acc_t) * jnp.asarray(scale, acc_t)
     kf = k.astype(acc_t)

@@ -63,3 +63,47 @@ def test_dispatch_predicate():
     assert should_use_fused(8, 16, np.zeros((1, 8, 8)), None) is False
     assert should_use_fused(8, 16, None, np.zeros((1, 8, 8))) is False
     assert should_use_fused(48, 16, None, None) is False
+
+
+@pytest.mark.parametrize("N,T,h,d", [(20, 8, 3, 16), (300, 8, 2, 8), (7, 4, 1, 16)])
+def test_v2_matches_einsum(rng, N, T, h, d):
+    from micformer_tpu.ops.pallas.window_attention_v2 import window_attention_v2
+
+    q = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    k = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    v = rng.normal(size=(N, T, h, d)).astype(np.float32)
+    out = window_attention_v2(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              None, True)  # interpret mode
+    # reference: the plain [N,T,h,d] einsum path
+    attention_mod_prev = attention_mod.HEAD_LOOP_MAX
+    attention_mod.HEAD_LOOP_MAX = 0
+    try:
+        ref = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    finally:
+        attention_mod.HEAD_LOOP_MAX = attention_mod_prev
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_v2_grad_matches_einsum(rng):
+    from micformer_tpu.ops.pallas.window_attention_v2 import window_attention_v2
+
+    N, T, h, d = 6, 8, 2, 16
+    q = jnp.asarray(rng.normal(size=(N, T, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(N, T, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, T, h, d)).astype(np.float32))
+
+    def loss_v2(q, k, v):
+        return jnp.sum(window_attention_v2(q, k, v, None, True) ** 2)
+
+    def loss_ref(q, k, v):
+        prev = attention_mod.HEAD_LOOP_MAX
+        attention_mod.HEAD_LOOP_MAX = 0
+        try:
+            return jnp.sum(multi_head_attention(q, k, v) ** 2)
+        finally:
+            attention_mod.HEAD_LOOP_MAX = prev
+
+    gv = jax.grad(loss_v2, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gv, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
