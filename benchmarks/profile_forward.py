@@ -47,6 +47,40 @@ def parse_xspace(trace_dir: str):
     return totals, plane_names
 
 
+def summarize(trace_dir: str, n_calls: int = 3, top: int = 30):
+    """Aggregate the TPU plane's 'XLA Ops' line by (op kind, output shape) —
+    the attribution view the round-2 kernel work was driven from."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {trace_dir}"
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    planes = [p for p in xspace.planes if p.name.startswith("/device:TPU")]
+    assert planes, "no TPU plane in trace"
+    plane = planes[0]
+    md = dict(plane.event_metadata.items())
+    mods = [l for l in plane.lines if l.name == "XLA Modules"]
+    if mods:
+        tot = sum(e.duration_ps for e in mods[0].events)
+        print(f"device time: {tot / n_calls / 1e9:.1f} ms/call "
+              f"({len(mods[0].events)} module executions)")
+    line = [l for l in plane.lines if l.name == "XLA Ops"][0]
+    sig, cnt = collections.Counter(), collections.Counter()
+    for ev in line.events:
+        name = md[ev.metadata_id].name
+        m = re.match(r"%?[\w\-\.]+ = (\S+?)\{", name)
+        s = m.group(1) if m else name[:40]
+        kindm = re.match(r"%?([a-zA-Z\-_]+)", name)
+        key = f"{kindm.group(1) if kindm else '?'} -> {s}"
+        sig[key] += ev.duration_ps
+        cnt[key] += 1
+    T = max(sum(sig.values()), 1)
+    for k, ps in sig.most_common(top):
+        print(f"  {ps/1e9:8.2f} ms {100*ps/T:5.1f}%  x{cnt[k]:4d}  {k}")
+
+
 CATEGORIES = [
     ("conv", re.compile(r"conv", re.I)),
     ("dot/matmul", re.compile(r"dot|einsum", re.I)),

@@ -27,26 +27,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, h: int, d: int, scale: float):
-    q = q_ref[:].astype(jnp.float32) * scale   # [G, T, C]
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    G = q.shape[0]
-    for hi in range(h):
-        lo = hi * d
-        for t in range(T):
-            qt = q[:, t, lo:lo + d]                      # [G, d]
-            cols = []
+    # refs are [T, G, C]: slicing one token gives a contiguous [G, C] tile.
+    # Loads stream from VMEM inside the loops — materializing all 3T token
+    # tiles up front made the Mosaic compile helper fall over.
+    # Per-head lane masks come from iota (kernels cannot capture constant
+    # arrays): head id of lane c is c // d. Per-head math runs FULL-WIDTH —
+    # Mosaic rejects sub-128 lane slicing/stores; masked full-width multiplies
+    # and reduces lower cleanly.
+    C = h * d
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) // d
+    masks = [(lane_head == hi).astype(jnp.float32) for hi in range(h)]
+
+    for t in range(T):
+        qt = q_ref[t].astype(jnp.float32) * scale
+        # per-head logits for every key token: logits[hi][s] : [G, 1]
+        logits = [[None] * T for _ in range(h)]
+        for s in range(T):
+            prod = qt * k_ref[s].astype(jnp.float32)      # [G, C]
+            for hi in range(h):
+                logits[hi][s] = jnp.sum(prod * masks[hi], axis=-1,
+                                        keepdims=True)    # [G, 1]
+        out_t = jnp.zeros_like(qt)
+        for hi in range(h):
+            m = logits[hi][0]
+            for s in range(1, T):
+                m = jnp.maximum(m, logits[hi][s])
+            ps = [jnp.exp(logits[hi][s] - m) for s in range(T)]
+            denom = ps[0]
+            for s in range(1, T):
+                denom = denom + ps[s]
+            inv = 1.0 / denom                             # [G, 1]
             for s in range(T):
-                cols.append(jnp.sum(qt * k[:, s, lo:lo + d], axis=-1,
-                                    keepdims=True))      # [G, 1]
-            logits = jnp.concatenate(cols, axis=-1)       # [G, T]
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            acc = jnp.zeros((G, d), jnp.float32)
-            for s in range(T):
-                acc = acc + p[:, s:s + 1] * v[:, s, lo:lo + d]
-            o_ref[:, t, lo:lo + d] = (acc / denom).astype(o_ref.dtype)
+                out_t = out_t + (ps[s] * inv) * (
+                    v_ref[s].astype(jnp.float32) * masks[hi])
+        o_ref[t] = out_t.astype(o_ref.dtype)
 
 
 def window_attention_v2(q, k, v, scale=None, interpret=False):
@@ -67,22 +81,27 @@ def _v2_call(q, k, v, h, scale, interpret):
 def _v2_forward(q, k, v, h, scale, interpret):
     N, T, C = q.shape
     d = C // h
-    G = 256
+    G = 512
     n_blocks = -(-N // G)
     pad = n_blocks * G - N
     if pad:
         cfg = ((0, pad), (0, 0), (0, 0))
         q, k, v = jnp.pad(q, cfg), jnp.pad(k, cfg), jnp.pad(v, cfg)
+    # token-major layout: refs become [T, G, C] so one token slice is a
+    # contiguous [G, C] tile (lane-aligned; no sub-lane slicing in-kernel)
+    qt = q.transpose(1, 0, 2)
+    kt = k.transpose(1, 0, 2)
+    vt = v.transpose(1, 0, 2)
     out = pl.pallas_call(
         functools.partial(_kernel, T=T, h=h, d=d, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec((G, T, C), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((T, G, C), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((G, T, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((T, G, C), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k, v)
+    )(qt, kt, vt).transpose(1, 0, 2)
     return out[:N] if pad else out
 
 
