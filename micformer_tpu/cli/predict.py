@@ -92,6 +92,10 @@ def main(argv=None):
                    help="dir of <pid>_segFromPrevStage.npy files; their "
                         "one-hot (foreground labels) is appended as input "
                         "channels (cascade fullres stage)")
+    p.add_argument("--save-softmax", action="store_true",
+                   help="also save <pid>_softmax.npz (fold-averaged class "
+                        "probabilities) for cross-model ensembling "
+                        "(ensemble_predictions.py workflow)")
     p.add_argument("--save-seg-for-next-stage", action="store_true",
                    help="also write <pid>_segFromPrevStage.npy (model-grid "
                         "label map) to seed the cascade's next stage")
@@ -166,6 +170,11 @@ def main(argv=None):
             logits = fn(vol)
             sm = jax.nn.softmax(logits, axis=1)
             probs = sm if probs is None else probs + sm
+        probs = probs / len(infer_fns)
+        if args.save_softmax:
+            np.savez_compressed(
+                os.path.join(args.out, f"{s['patient_id']}_softmax.npz"),
+                softmax=np.asarray(probs[0], np.float16))
         seg = np.asarray(jnp.argmax(probs, axis=1))[0].astype(np.uint8)
         if args.largest_cc:
             seg = remove_all_but_largest_cc(seg)

@@ -66,3 +66,39 @@ def test_predict_and_evaluate_cli(data_root, tmp_path_factory):
     assert os.path.exists(summary)
     data = json.load(open(summary))
     assert "results" in data and "mean" in data["results"]
+
+
+def test_softmax_export_and_ensemble_cli(data_root, tmp_path_factory):
+    """predict --save-softmax -> cli.ensemble averages saved probabilities
+    (ensemble_predictions.py workflow)."""
+    from micformer_tpu.cli.predict import main as predict_main
+    from micformer_tpu.cli.ensemble import main as ensemble_main
+    from micformer_tpu.data.nifti import read_nifti
+
+    run_dir = getattr(test_train_cli, "run_dir", None)
+    if run_dir is None:
+        pytest.skip("train test did not run")
+    out_a = str(tmp_path_factory.mktemp("preds_a"))
+    out_b = str(tmp_path_factory.mktemp("preds_b"))
+    for out in (out_a, out_b):
+        predict_main([
+            "--data", data_root, "--cache", data_root + "/cache",
+            "--model", "unet3d", "--run-dirs", run_dir,
+            "--out", out, "--roi", "16", "--target-shape", "16",
+            "--split", "test", "--save-softmax",
+        ])
+        assert glob.glob(os.path.join(out, "*_softmax.npz"))
+
+    ens = str(tmp_path_factory.mktemp("ens"))
+    ensemble_main(["--inputs", out_a, out_b, "--out", ens])
+    merged = glob.glob(os.path.join(ens, "*_pred.nii.gz"))
+    assert merged
+    # identical inputs -> ensemble equals the individual argmax
+    pid = os.path.basename(merged[0])
+    a = read_nifti(os.path.join(out_a, pid))
+    e = read_nifti(merged[0])
+    sm = np.load(glob.glob(os.path.join(out_a, "*_softmax.npz"))[0])["softmax"]
+    assert sm.shape[0] == 8 and sm.dtype == np.float16
+    # f16 softmax storage can flip exact-tie voxels; require near-identity
+    mismatch = np.mean(np.asarray(a) != np.asarray(e))
+    assert mismatch < 0.005, f"ensemble differs on {mismatch:.2%} of voxels"
