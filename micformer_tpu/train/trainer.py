@@ -81,6 +81,9 @@ class TrainConfig:
     # crash resume: save a "latest" checkpoint every `latest_every` epochs
     # (nnU-Net keeps latest+best, network_trainer.py:258-401)
     latest_every: int = 1
+    # archive the K best 'best_dice' checkpoints (ckpt_best_dice_k<step>)
+    # for model averaging / selection sweeps; None keeps only the single best
+    keep_best_k: int | None = None
     # early stopping (nnU-Net manage_patience parity, network_trainer.py:557-607):
     # stop when the smoothed val metric hasn't improved by min_delta within
     # `patience` validations; None disables (the MM-WHS harness never stops early).
@@ -153,7 +156,7 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.tx, self.schedule = _make_tx(cfg)
-        self.ckpt = CheckpointManager(cfg.run_dir)
+        self.ckpt = CheckpointManager(cfg.run_dir, keep_best_k=cfg.keep_best_k)
         self._log_path = os.path.join(cfg.run_dir, "log.jsonl")
         os.makedirs(cfg.run_dir, exist_ok=True)
         from micformer_tpu.train.logging import MetricsWriter
@@ -439,10 +442,12 @@ class Trainer:
 
                 if vm["meandice"] > best_dice:
                     best_dice = vm["meandice"]
-                    self.ckpt.save("best_dice", payload())
+                    self.ckpt.save("best_dice", payload(),
+                                   metric=float(vm["meandice"]))
                 if vm["val_loss"] < best_loss:
                     best_loss = vm["val_loss"]
-                    self.ckpt.save("best_loss", payload())
+                    self.ckpt.save("best_loss", payload(),
+                                   metric=-float(vm["val_loss"]))
                 if cfg.patience is not None and np.isfinite(vm["meandice"]):
                     a = cfg.val_metric_alpha
                     ema_metric = (vm["meandice"] if ema_metric is None

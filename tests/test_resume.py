@@ -49,3 +49,27 @@ def test_fit_then_resume(tmp_path):
     assert max(epochs_trained) == 3
     # step carried over, not reset (2 epochs x 2 steps saved at best ckpt)
     assert int(state2.step) > int(state1.step) - 4
+
+
+def test_checkpoint_schema_meta_and_best_k(tmp_path):
+    """Schema-version sidecar + best-k retention: archives the K best
+    'best_dice' checkpoints by metric and prunes the rest."""
+    import numpy as np
+    from micformer_tpu.train.checkpoint import CheckpointManager, SCHEMA_VERSION
+
+    cm = CheckpointManager(str(tmp_path), keep_best_k=2)
+    for step, metric in [(1, 0.3), (2, 0.6), (3, 0.5), (4, 0.8)]:
+        state = {"params": {"w": np.full((2,), float(step))},
+                 "step": np.asarray(step)}
+        cm.save("best_dice", state, metric=metric)
+
+    meta = cm.meta("best_dice")
+    assert meta["schema_version"] == SCHEMA_VERSION
+    import os
+    archived = sorted(d for d in os.listdir(tmp_path)
+                      if d.startswith("ckpt_best_dice_k") and not d.endswith(".json"))
+    # k=2 retention: metrics 0.8 (step 4) and 0.6 (step 2) survive
+    assert archived == ["ckpt_best_dice_k2", "ckpt_best_dice_k4"], archived
+    best = cm.restore_any("best_dice_k4")
+    np.testing.assert_array_equal(best["params"]["w"], np.full((2,), 4.0))
+    assert cm.meta("best_dice_k4")["metric"] == 0.8
