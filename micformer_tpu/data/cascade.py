@@ -186,7 +186,22 @@ class CascadeDataset:
         self.seg_dir = seg_dir
         self.labels = list(range(1, num_classes))
         self.augment = augment
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        # per-index visit counters give thread-safe, deterministic
+        # augmentation streams under the multi-worker loader: sample i's
+        # k-th visit always draws from seed (seed, i, k) regardless of the
+        # interleaving of other indices (a shared Generator would race).
+        import threading
+
+        self._lock = threading.Lock()
+        self._visits: dict = {}
+
+    def _rng_for(self, i):
+        with self._lock:
+            k = self._visits.get(i, 0)
+            self._visits[i] = k + 1
+        return np.random.default_rng(
+            np.random.SeedSequence([self._seed, i, k]))
 
     def __len__(self):
         return len(self.base)
@@ -200,6 +215,6 @@ class CascadeDataset:
         seg = resize_seg_nearest(seg, img.shape[1:])
         onehot = seg_to_onehot(seg, self.labels)
         if self.augment:
-            onehot = cascade_augment_onehot(onehot, self._rng)
+            onehot = cascade_augment_onehot(onehot, self._rng_for(i))
         s["image"] = np.concatenate([img, onehot.astype(img.dtype)], axis=0)
         return s

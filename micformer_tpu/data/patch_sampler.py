@@ -75,9 +75,21 @@ class OversampledPatchDataset:
         self.batch_size = batch_size
         self.oversample = oversample_foreground_percent
         self.num_classes = num_classes
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.samples_per_epoch = samples_per_epoch or len(base_dataset)
         self._loc_cache = {}
+        # thread-safe deterministic draws under the multi-worker loader:
+        # position i's k-th visit uses seed (seed, i, k) — no shared Generator
+        import threading
+
+        self._lock = threading.Lock()
+        self._visits: dict = {}
+
+    def _rng_for(self, i):
+        with self._lock:
+            k = self._visits.get(i, 0)
+            self._visits[i] = k + 1
+        return np.random.default_rng(np.random.SeedSequence([self.seed, i, k]))
 
     def __len__(self):
         return self.samples_per_epoch
@@ -92,11 +104,12 @@ class OversampledPatchDataset:
         return self._loc_cache[idx]
 
     def __getitem__(self, i):
-        idx = int(self.rng.integers(len(self.base)))
+        rng = self._rng_for(i)
+        idx = int(rng.integers(len(self.base)))
         s = self.base[idx]
         image = np.asarray(s["image"], np.float32)
         label = np.asarray(s["label"], np.float32)
         force = self._force_fg(i % self.batch_size)
         locs = self._locations(idx, label) if force else None
-        img_p, lab_p = sample_patch(image, label, self.patch_size, force, locs, self.rng)
+        img_p, lab_p = sample_patch(image, label, self.patch_size, force, locs, rng)
         return dict(s, image=img_p, label=lab_p)
