@@ -90,7 +90,7 @@ def multi_head_attention(
             window_attention_v2,
         )
 
-        if should_use_v2(Tq, h, d, bias, mask):
+        if should_use_v2(Tq, h, d, bias, mask, n_windows=N):
             return window_attention_v2(q, k, v, scale)
     acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     qf = q.astype(acc_t) * jnp.asarray(scale, acc_t)

@@ -132,12 +132,18 @@ def _v2_bwd(h, scale, interpret, res, g):
 _v2_call.defvjp(_v2_fwd, _v2_bwd)
 
 
-def should_use_v2(T: int, h: int, d: int, bias, mask) -> bool:
+def should_use_v2(T: int, h: int, d: int, bias, mask, n_windows: int = 1 << 30) -> bool:
     """Unbiased/unmasked tiny windows on TPU. h is capped: the kernel unrolls
-    h*T*T masked reductions, and deep-stage head counts (12/24) both blow up
-    Mosaic compile time and matter little (stage-0/1 dominate the profile)."""
+    h*T*T masked reductions, and deep-stage head counts (12/24) blow up
+    Mosaic compile time while mattering little (stage 0 dominates the
+    profile). n_windows is floored because SMALL operand arrays get placed
+    wholly in VMEM by XLA, and the pallas call's block staging then overflows
+    the 16MB scoped-vmem budget (observed at stage 1: bf16[8,2048,96]
+    operands -> 20.5M scoped alloc)."""
     if bias is not None or mask is not None:
         return False
     if T > 8 or h > 6 or h * d > 512:
+        return False
+    if n_windows * T * (h * d) * 2 < 8 * 1024 * 1024:
         return False
     return jax.default_backend() == "tpu"
