@@ -63,7 +63,11 @@ def main(argv=None):
     p = argparse.ArgumentParser("micformer_tpu.predict")
     p.add_argument("--data", required=True)
     p.add_argument("--cache", default=None)
-    p.add_argument("--model", default="micformer")
+    p.add_argument("--model", default=None,
+                   help="model family; default: the model recorded in the "
+                        "first run dir's config.yaml (so plan-driven "
+                        "generic_unet configs reconstruct exactly), else "
+                        "'micformer'")
     p.add_argument("--run-dirs", nargs="+", required=True,
                    help="one run dir per fold to ensemble")
     p.add_argument("--ckpt-tag", default="best_dice", choices=["best_dice", "best_loss"])
@@ -110,7 +114,25 @@ def main(argv=None):
     _, val_ds, test_ds = get_datasets(args.data, cache_dir=args.cache, target_shape=ts)
     ds = val_ds if args.split == "val" else test_ds
 
-    model = registry.build(args.model, num_classes=args.num_classes)
+    # model reconstruction: an explicit --model wins; otherwise the train
+    # run's saved config.yaml (cli/train.py save_config) — including
+    # model.extra kwargs, which plan-driven generic_unet configs need
+    model_name, model_kwargs = args.model, {"num_classes": args.num_classes}
+    cfg_path = os.path.join(args.run_dirs[0], "config.yaml")
+    if os.path.exists(cfg_path):
+        from micformer_tpu.config import load_config
+
+        run_cfg = load_config(cfg_path)
+        if model_name is None:
+            model_name = run_cfg.model.name
+        if model_name == run_cfg.model.name:
+            extra = {k: tuple(v) if isinstance(v, list) else v
+                     for k, v in run_cfg.model.extra.items()}
+            model_kwargs = dict(num_classes=run_cfg.model.num_classes, **extra)
+            if model_name == "micformer" and "embed_dim" not in model_kwargs:
+                model_kwargs["embed_dim"] = run_cfg.model.embed_dim
+    model_name = model_name or "micformer"
+    model = registry.build(model_name, **model_kwargs)
 
     fold_params = []
     for rd in args.run_dirs:
