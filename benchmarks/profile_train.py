@@ -60,7 +60,10 @@ def main():
         jax.block_until_ready(m["loss"])
     print(f"trace written to {trace_dir}")
 
-    from benchmarks.profile_forward import summarize
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from profile_forward import summarize
 
     summarize(trace_dir)
 

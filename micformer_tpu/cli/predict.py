@@ -156,7 +156,7 @@ def main(argv=None):
             from micformer_tpu.parallel.spatial import spatial_sharded_apply
 
             n = args.spatial_shards or len(jax.devices())
-            mesh = make_mesh(space=n)
+            mesh = make_mesh(data=1, space=n, devices=jax.devices()[:n])
             return functools.partial(spatial_sharded_apply, model,
                                      {"params": params}, mesh=mesh)
         from micformer_tpu.infer.sliding_window_2d import (

@@ -109,10 +109,42 @@ def trilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         matching src's D,H,W).
 
     Returns [B, Do, Ho, Wo, C].
+
+    Forward runs the block-gather kernel (fast: one lax.gather), but its
+    AUTODIFF gradient is catastrophic — XLA lowers the multi-dim-slice
+    scatter-add as a serial per-point while loop (profiled at ~90% of a train
+    step). The custom VJP below keeps the block forward and differentiates
+    the 8-corner formulation instead (row-wise scatter-adds, the round-1
+    train-speed path).
     """
     B, D, H, W, C = src.shape
     if USE_BLOCK_GATHER and min(D, H, W) >= 2:
-        return _trilinear_sample_block(src, coords)
+        return _trilinear_block_with_corner_grad(src, coords)
+    return _trilinear_sample_corners(src, coords)
+
+
+@jax.custom_vjp
+def _trilinear_block_with_corner_grad(src, coords):
+    return _trilinear_sample_block(src, coords)
+
+
+def _tri_fwd(src, coords):
+    return _trilinear_sample_block(src, coords), (src, coords)
+
+
+def _tri_bwd(res, g):
+    src, coords = res
+    _, vjp = jax.vjp(_trilinear_sample_corners, src, coords)
+    return vjp(g)
+
+
+_trilinear_block_with_corner_grad.defvjp(_tri_fwd, _tri_bwd)
+
+
+def _trilinear_sample_corners(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """8-corner take_along_axis formulation (identical math to the block
+    gather; differentiates to row-wise scatter-adds)."""
+    B, D, H, W, C = src.shape
     cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
 
     z0 = jnp.floor(cz)

@@ -162,7 +162,9 @@ def spatial_sharded_apply(model, variables, volume, mesh: Mesh,
     assert D % (n * zstride) == 0, (
         f"D={D} must divide shards({n}) x cumulative z-stride({zstride})")
 
-    params = variables["params"]
+    # replicate params onto the mesh: restored checkpoints arrive committed
+    # to a single device, which shard_map rejects
+    params = jax.device_put(variables["params"], NamedSharding(mesh, P()))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

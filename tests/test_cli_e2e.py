@@ -102,3 +102,40 @@ def test_softmax_export_and_ensemble_cli(data_root, tmp_path_factory):
     # f16 softmax storage can flip exact-tie voxels; require near-identity
     mismatch = np.mean(np.asarray(a) != np.asarray(e))
     assert mismatch < 0.005, f"ensemble differs on {mismatch:.2%} of voxels"
+
+
+def test_spatial_engine_cli(data_root, tmp_path_factory):
+    """train a plan-shaped generic_unet via YAML, then predict with
+    --engine spatial (halo-exchange sharded forward) — the model is
+    reconstructed from the run dir's config.yaml, not re-specified."""
+    import yaml
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from micformer_tpu.cli.train import main as train_main
+    from micformer_tpu.cli.predict import main as predict_main
+
+    cfg = {
+        "model": {"name": "generic_unet", "num_classes": 8,
+                  "extra": {"base_num_features": 4,
+                            "pool_kernels": [[2, 2, 2], [2, 2, 2]],
+                            "conv_kernels": [[3, 3, 3]] * 3}},
+    }
+    cfg_path = str(tmp_path_factory.mktemp("cfg") / "gu.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run_dir = str(tmp_path_factory.mktemp("gurun"))
+    train_main([
+        "--cfg", cfg_path, "--data", data_root, "--cache", data_root + "/cache",
+        "--epochs", "1", "--val", "1", "--target-shape", "16",
+        "--run-dir", run_dir,
+    ])
+    out_dir = str(tmp_path_factory.mktemp("gupreds"))
+    predict_main([
+        "--data", data_root, "--cache", data_root + "/cache",
+        "--run-dirs", run_dir, "--out", out_dir,
+        "--roi", "16", "--target-shape", "16", "--split", "test",
+        "--engine", "spatial", "--spatial-shards", "4",
+    ])
+    assert glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
