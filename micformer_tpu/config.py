@@ -160,6 +160,12 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
                             "mcc", "dice_topk", "dice_bce"])
     p.add_argument("--scheduler", default=None,
                    choices=["cosine", "poly", "constant"])
+    p.add_argument("--scheduler-per-batch", default=None,
+                   choices=["true", "false"],
+                   help="step the schedule per batch (the reference's "
+                        "CosineAnnealing quirk — faithful default) or per "
+                        "epoch (the paper's intent; converges measurably "
+                        "better, benchmarks/RESULTS.md)")
     p.add_argument("--augment", default=None, choices=["monai", "nnunet", "none"],
                    help="train-time transform stack (reference default: monai, "
                         "train_mmwhs_noPad.py:116-130)")
@@ -231,6 +237,9 @@ def config_from_args(args) -> Config:
         v = getattr(args, attr, None)
         if v is not None:
             setattr(getattr(cfg, section), field_name, v)
+    spb = getattr(args, "scheduler_per_batch", None)
+    if spb is not None:
+        cfg.train.scheduler_per_batch = spb == "true"
     if getattr(args, "target_shape", None):
         cfg.data.target_shape = (args.target_shape,) * 3
         cfg.infer.roi = cfg.data.target_shape

@@ -57,3 +57,14 @@ def test_unknown_key_rejected(tmp_path):
     p.write_text(yaml.safe_dump({"train": {"nonexistent": 1}}))
     with pytest.raises(KeyError):
         load_config(str(p))
+
+
+def test_scheduler_per_batch_cli_flag():
+    from micformer_tpu.config import build_argparser, config_from_args
+
+    args = build_argparser().parse_args(["--scheduler-per-batch", "false"])
+    cfg = config_from_args(args)
+    assert cfg.train.scheduler_per_batch is False
+    # absent -> faithful default survives (incl. through YAML merge)
+    cfg2 = config_from_args(build_argparser().parse_args([]))
+    assert cfg2.train.scheduler_per_batch is True
