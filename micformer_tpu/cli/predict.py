@@ -86,6 +86,10 @@ def main(argv=None):
                         "exchange (>HBM volumes; generic_unet only)")
     p.add_argument("--spatial-shards", type=int, default=None,
                    help="device count for --engine spatial (default: all)")
+    p.add_argument("--sharded-tiles", action="store_true",
+                   help="shard the 3D sliding-window TILE GRID over all "
+                        "devices (infer/sharded.py shard_map+psum blending) "
+                        "— per-volume latency scaling on multi-chip hosts")
     p.add_argument("--pseudo3d-slices", type=int, default=5)
     p.add_argument("--mirror-tta", action="store_true")
     p.add_argument("--largest-cc", action="store_true")
@@ -148,6 +152,17 @@ def main(argv=None):
             return model.apply({"params": params}, win)
 
         if args.engine == "3d":
+            if args.sharded_tiles:
+                from micformer_tpu.infer.sharded import (
+                    sliding_window_inference_sharded,
+                )
+                from micformer_tpu.parallel import make_mesh
+
+                mesh = make_mesh(data=len(jax.devices()))
+                kw = {k: v for k, v in common.items() if k != "sw_batch_size"}
+                return jax.jit(functools.partial(
+                    sliding_window_inference_sharded, roi_size=(args.roi,) * 3,
+                    predictor=predictor, mesh=mesh, **kw))
             return jax.jit(functools.partial(
                 sliding_window_inference, roi_size=(args.roi,) * 3,
                 predictor=predictor, **common))

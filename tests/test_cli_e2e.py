@@ -139,3 +139,24 @@ def test_spatial_engine_cli(data_root, tmp_path_factory):
         "--engine", "spatial", "--spatial-shards", "4",
     ])
     assert glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
+
+
+def test_sharded_tiles_cli(data_root, tmp_path_factory):
+    """--sharded-tiles: the 3D tile grid sharded over all (virtual) devices."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from micformer_tpu.cli.predict import main as predict_main
+
+    run_dir = getattr(test_train_cli, "run_dir", None)
+    if run_dir is None:
+        pytest.skip("train test did not run")
+    out_dir = str(tmp_path_factory.mktemp("shpreds"))
+    predict_main([
+        "--data", data_root, "--cache", data_root + "/cache",
+        "--run-dirs", run_dir, "--out", out_dir,
+        "--roi", "16", "--target-shape", "32", "--split", "test",
+        "--sharded-tiles",
+    ])
+    assert glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
