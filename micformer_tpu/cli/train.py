@@ -120,6 +120,12 @@ def main(argv=None):
     if args.throughput:
         _throughput(trainer, train_loader)
         return
+    if getattr(args, "find_lr", None):
+        lrs, losses = trainer.find_lr(train_loader)
+        best = lrs[min(range(len(losses)), key=lambda i: losses[i])]
+        print(f"find_lr: {len(lrs)} points swept; min smoothed loss at "
+              f"lr={best:.2e} (full curve in {cfg.train.run_dir}/log.jsonl)")
+        return
 
     t0 = time.perf_counter()
     trainer.fit(train_loader, val_loader, resume=cfg.train.resume)

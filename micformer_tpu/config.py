@@ -192,6 +192,10 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
                         "stage; appended as one-hot input channels with "
                         "pyramid augmentations at train time "
                         "(nnUNetTrainerV2_CascadeFullRes parity)")
+    p.add_argument("--find-lr", action="store_true", default=None,
+                   help="LR range test instead of training (nnU-Net "
+                        "network_trainer.find_lr parity): exponential sweep, "
+                        "writes (lr, smoothed loss) pairs to log.jsonl")
     p.add_argument("--throughput", action="store_true", default=None,
                    help="benchmark mode: time steps/sec, no checkpoints "
                         "(the flag the reference parsed but never implemented)")

@@ -160,3 +160,18 @@ def test_sharded_tiles_cli(data_root, tmp_path_factory):
         "--sharded-tiles",
     ])
     assert glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
+
+
+def test_find_lr_cli(data_root, tmp_path_factory):
+    from micformer_tpu.cli.train import main as train_main
+
+    run_dir = str(tmp_path_factory.mktemp("lrsweep"))
+    train_main([
+        "--data", data_root, "--cache", data_root + "/cache",
+        "--model", "unet3d", "--target-shape", "16", "--run-dir", run_dir,
+        "--find-lr",
+    ])
+    log = [json.loads(l) for l in open(os.path.join(run_dir, "log.jsonl"))]
+    sweep = next(l["find_lr"] for l in log if "find_lr" in l)
+    assert len(sweep["lrs"]) == len(sweep["losses"]) > 10
+    assert sweep["lrs"][0] < sweep["lrs"][-1]
