@@ -190,7 +190,13 @@ def main(argv=None):
 
     infer_fns = [make_infer(p_) for p_ in fold_params]
 
-    for i, s in _prefetch_cases(ds, range(len(ds))):
+    # multi-process runs shard the case list by rank (the reference's
+    # all_keys[rank::world] validation/predict sharding,
+    # nnUNetTrainerV2_DDP.py:492); single-process gets the full list.
+    from micformer_tpu.parallel import shard_cases
+
+    case_indices = shard_cases(range(len(ds)))
+    for i, s in _prefetch_cases(ds, case_indices):
         img = np.asarray(s["image"], np.float32)
         if args.cascade_prev_seg_dir:
             from micformer_tpu.data.cascade import seg_to_onehot, resize_seg_nearest
@@ -213,20 +219,30 @@ def main(argv=None):
                 os.path.join(args.out, f"{s['patient_id']}_softmax.npz"),
                 softmax=np.asarray(probs[0], np.float16))
         seg = np.asarray(jnp.argmax(probs, axis=1))[0].astype(np.uint8)
-        if args.largest_cc:
-            seg = remove_all_but_largest_cc(seg)
         if args.save_seg_for_next_stage:
             np.save(os.path.join(
                 args.out, f"{s['patient_id']}_segFromPrevStage.npy"), seg)
+        affine = None
         if args.native_geometry:
             from micformer_tpu.data.nifti import read_nifti
-            from micformer_tpu.data.image_utils import resize_nearest
+            from micformer_tpu.data.image_utils import resize_trilinear
 
             orig = read_nifti(ds.cases[i].ct, with_header=True)[1]
-            # header shape is NIfTI (x,y,z); arrays are (z,y,x)
-            seg = resize_nearest(seg, tuple(orig.shape[:3])[::-1]).astype(np.uint8)
+            affine = orig.affine
+            # header shape is NIfTI (x,y,z); arrays are (z,y,x). Resample the
+            # CLASS PROBABILITIES (trilinear) to the source grid before argmax
+            # — the reference exports softmax-at-original-spacing, not a
+            # nearest-resized label map (segmentation_export.py:27-120
+            # save_segmentation_nifti_from_softmax resamples softmax via
+            # resample_data_or_seg then argmaxes).
+            zyx = tuple(int(d) for d in orig.shape[:3])[::-1]
+            if zyx != seg.shape:
+                sm = resize_trilinear(np.asarray(probs[0], np.float32), zyx)
+                seg = np.argmax(sm, axis=0).astype(np.uint8)
+        if args.largest_cc:
+            seg = remove_all_but_largest_cc(seg)
         out_path = os.path.join(args.out, f"{s['patient_id']}_pred.nii.gz")
-        write_nifti(out_path, seg)
+        write_nifti(out_path, seg, affine=affine)
         print(f"{s['patient_id']}: wrote {out_path}")
 
 

@@ -57,8 +57,12 @@ def make_case(rng: np.random.Generator, shape=(64, 64, 64), n_blobs=7):
     return ct, label, mr, mr_label
 
 
-def write_synthetic_dataset(root, n_cases=4, shape=(64, 64, 64), seed=0):
-    """Write n_cases paired .nii.gz files under `root` in reference layout."""
+def write_synthetic_dataset(root, n_cases=4, shape=(64, 64, 64), seed=0, affine=None):
+    """Write n_cases paired .nii.gz files under `root` in reference layout.
+
+    `affine` (optional 4x4) is written into every file's sform so tests can
+    exercise geometry-preserving export with a non-identity world transform.
+    """
     import os
 
     os.makedirs(root, exist_ok=True)
@@ -73,7 +77,7 @@ def write_synthetic_dataset(root, n_cases=4, shape=(64, 64, 64), seed=0):
             (f"mr_{pid}_image.nii.gz", mr),
             (f"mr_{pid}_label.nii.gz", mr_lab),
         ]:
-            write_nifti(os.path.join(root, name), arr)
+            write_nifti(os.path.join(root, name), arr, affine=affine)
         paths.append(os.path.join(root, f"ct_{pid}_image.nii.gz"))
     return paths
 

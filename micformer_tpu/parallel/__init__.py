@@ -3,4 +3,6 @@ from micformer_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
     data_parallel_shardings,
+    shard_cases,
+    is_primary,
 )

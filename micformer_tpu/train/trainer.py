@@ -319,15 +319,43 @@ class Trainer:
                 **donate,
             )
             # validation batches are replicated (val batch is 1 in the
-            # reference protocol — case-level sharding is the DDP-parity
-            # mechanism, parallel.shard_cases); only train batches shard
+            # reference protocol); case-LEVEL sharding over the mesh is the
+            # DDP-parity mechanism (nnUNetTrainerV2_DDP.py:492) — see
+            # case_parallel_eval below, used by validate() when the mesh's
+            # 'data' axis has >1 device.
             self.eval_step = jax.jit(eval_step, in_shardings=(rep, rep, rep))
             self.sw_eval_step = jax.jit(
                 sw_eval_step, in_shardings=(rep, rep, rep))
+
+            # W val cases evaluated simultaneously, ONE PER DEVICE, via
+            # shard_map over the 'data' axis: each shard runs the exact
+            # serial eval program on its own [1, C, ...] case, so per-case
+            # metrics are bit-for-bit equal to the serial loop — the live
+            # equivalent of the reference's all_keys[rank::world] validation
+            # sharding (parallel/mesh.py shard_cases gives the schedule).
+            from jax import shard_map
+
+            def _per_case(fn):
+                def per_shard(state, images, labels):
+                    m = fn(state, images, labels)
+                    return {"val_loss": m["val_loss"][None],
+                            "meandice": m["meandice"][None],
+                            "per_class_dice": m["per_class_dice"]}
+                return per_shard
+
+            mesh = self.mesh
+            specs = dict(mesh=mesh, in_specs=(P(), P("data"), P("data")),
+                         out_specs=P("data"), check_vma=False)
+            self.case_parallel_eval = jax.jit(
+                shard_map(_per_case(eval_step), **specs))
+            self.case_parallel_sw_eval = jax.jit(
+                shard_map(_per_case(sw_eval_step), **specs))
         else:
             self.train_step = jax.jit(train_step, **donate)
             self.eval_step = jax.jit(eval_step)
             self.sw_eval_step = jax.jit(sw_eval_step)
+            self.case_parallel_eval = None
+            self.case_parallel_sw_eval = None
 
     # -- loops --------------------------------------------------------------
 
@@ -508,8 +536,15 @@ class Trainer:
         return state.apply_gradients(grads), {"loss": loss}
 
     def validate(self, state: TrainState, val_loader) -> dict:
+        batches = list(iter(val_loader))
+        world = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        if (world > 1 and len(batches) > 1
+                and all(b[0].shape == batches[0][0].shape
+                        and b[1].shape == batches[0][1].shape for b in batches)
+                and batches[0][0].shape[0] == 1):
+            return self._validate_case_parallel(state, batches, world)
         losses, dices, per_class = [], [], []
-        for images, labels, _ in val_loader:
+        for images, labels, _ in batches:
             if (self.cfg.roi is not None
                     and tuple(images.shape[2:]) != tuple(self.cfg.roi)):
                 m = self.sw_eval_step(state, images, labels)
@@ -523,5 +558,45 @@ class Trainer:
             "val_loss": float(np.mean(losses)) if losses else float("nan"),
             "meandice": float(np.mean(dices)) if dices else float("nan"),
             "per_class_dice_mean": pc.mean(0).tolist() if len(pc) else [],
+            "per_class_dice": pc,
+        }
+
+    def _validate_case_parallel(self, state, batches, world: int) -> dict:
+        """Validation with one case per device over the mesh 'data' axis —
+        the live wiring of the reference's per-rank validation-key sharding
+        (nnUNetTrainerV2_DDP.py:492 all_keys[rank::world]). Device d in
+        round k evaluates case schedule[d][k] where schedule = shard_cases
+        per device; padding rounds (repeat of case 0) are dropped host-side.
+        Per-case metrics are bit-for-bit equal to the serial loop because
+        each shard runs the identical [1, C, ...] eval program."""
+        from micformer_tpu.parallel import shard_cases
+
+        use_sw = (self.cfg.roi is not None
+                  and tuple(batches[0][0].shape[2:]) != tuple(self.cfg.roi))
+        fn = self.case_parallel_sw_eval if use_sw else self.case_parallel_eval
+        sharding = NamedSharding(self.mesh, P("data"))
+        schedule = [shard_cases(range(len(batches)), d, world)
+                    for d in range(world)]
+        rounds = max(len(s) for s in schedule)
+        per_case = {i: None for i in range(len(batches))}
+        for k in range(rounds):
+            idxs = [s[k] if k < len(s) else 0 for s in schedule]
+            images = jax.device_put(
+                np.concatenate([np.asarray(batches[i][0]) for i in idxs]), sharding)
+            labels = jax.device_put(
+                np.concatenate([np.asarray(batches[i][1]) for i in idxs]), sharding)
+            m = fn(state, images, labels)
+            vl = np.asarray(m["val_loss"]); md = np.asarray(m["meandice"])
+            pc = np.asarray(m["per_class_dice"])
+            for d, i in enumerate(idxs):
+                if k < len(schedule[d]):
+                    per_case[i] = (float(vl[d]), float(md[d]), pc[d])
+        losses = [per_case[i][0] for i in range(len(batches))]
+        dices = [per_case[i][1] for i in range(len(batches))]
+        pc = np.stack([per_case[i][2] for i in range(len(batches))])
+        return {
+            "val_loss": float(np.mean(losses)),
+            "meandice": float(np.mean(dices)),
+            "per_class_dice_mean": pc.mean(0).tolist(),
             "per_class_dice": pc,
         }

@@ -8,6 +8,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
+
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     from micformer_tpu.data.synthetic import write_synthetic_dataset
@@ -160,6 +163,65 @@ def test_sharded_tiles_cli(data_root, tmp_path_factory):
         "--sharded-tiles",
     ])
     assert glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
+
+
+def test_native_geometry_export(tmp_path_factory):
+    """--native-geometry must resample the SOFTMAX to the source grid before
+    argmax and write the source affine (save_segmentation_nifti_from_softmax
+    semantics, MedNeXt segmentation_export.py:27-120) — round-trip with a
+    non-identity affine and a source shape != model grid."""
+    from micformer_tpu.cli.train import main as train_main
+    from micformer_tpu.cli.predict import main as predict_main
+    from micformer_tpu.data.synthetic import write_synthetic_dataset
+    from micformer_tpu.data.nifti import read_nifti
+
+    affine = np.array([
+        [0.0, -1.25, 0.0, 31.0],
+        [1.5, 0.0, 0.0, -14.5],
+        [0.0, 0.0, 2.0, 7.25],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    root = str(tmp_path_factory.mktemp("geomdata"))
+    write_synthetic_dataset(root, n_cases=6, shape=(20, 24, 28), seed=11,
+                            affine=affine)
+    run_dir = str(tmp_path_factory.mktemp("geomrun"))
+    train_main([
+        "--data", root, "--cache", root + "/cache",
+        "--model", "unet3d", "--epochs", "1", "--val", "1",
+        "--target-shape", "16", "--run-dir", run_dir,
+    ])
+    out_dir = str(tmp_path_factory.mktemp("geompreds"))
+    predict_main([
+        "--data", root, "--cache", root + "/cache",
+        "--model", "unet3d", "--run-dirs", run_dir,
+        "--out", out_dir, "--roi", "16", "--target-shape", "16",
+        "--split", "test", "--native-geometry",
+    ])
+    preds = glob.glob(os.path.join(out_dir, "*_pred.nii.gz"))
+    assert preds
+    seg, hdr = read_nifti(preds[0], with_header=True)
+    # back at the source grid (z,y,x) = reversed NIfTI (x,y,z) dims
+    assert seg.shape == (20, 24, 28)
+    # the source world transform survived the round trip (f32 header storage)
+    np.testing.assert_allclose(hdr.affine, affine, atol=1e-5)
+    # labels are sane: valid range, and the class mix is not degenerate
+    assert seg.max() <= 7
+    # softmax-resample-then-argmax must equal argmax of the trilinear-resampled
+    # probabilities (not a nearest-resized label map): recompute from the
+    # saved softmax to pin the semantics
+    predict_main([
+        "--data", root, "--cache", root + "/cache",
+        "--model", "unet3d", "--run-dirs", run_dir,
+        "--out", out_dir + "_sm", "--roi", "16", "--target-shape", "16",
+        "--split", "test", "--save-softmax",
+    ])
+    from micformer_tpu.data.image_utils import resize_trilinear
+
+    pid = os.path.basename(preds[0]).replace("_pred.nii.gz", "")
+    sm = np.load(os.path.join(out_dir + "_sm", f"{pid}_softmax.npz"))["softmax"]
+    expect = np.argmax(resize_trilinear(sm.astype(np.float32), (20, 24, 28)), axis=0)
+    agree = np.mean(expect == seg)
+    assert agree > 0.999, f"softmax-resample semantics mismatch ({agree:.4f})"
 
 
 def test_find_lr_cli(data_root, tmp_path_factory):

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 from micformer_tpu import registry
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
+
 # ---------------------------------------------------------------------------
 # planner pool/conv schedules (get_pool_and_conv_props decisions)
 # ---------------------------------------------------------------------------

@@ -12,6 +12,9 @@ import jax
 import jax.numpy as jnp
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
+
 def test_zero_dilate_conv_equals_torch_transpose_conv(rng):
     """MedNeXt up-block identity: depthwise ConvTranspose3d(k3, s2, p1) +
     F.pad((1,0)x3) == zero-dilate + depthwise conv k3 with padding (2,1),

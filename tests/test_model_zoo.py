@@ -14,6 +14,9 @@ import jax.numpy as jnp
 
 from micformer_tpu import registry
 
+
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
 ZOO = [
     ("unet3d", dict(), (1, 2, 32, 32, 32)),
     ("mednext", dict(), (1, 2, 16, 16, 16)),

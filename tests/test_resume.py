@@ -11,6 +11,9 @@ from micformer_tpu.data.loader import DataLoader
 from micformer_tpu.train import Trainer, TrainConfig
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
+
 class TinyDS:
     def __init__(self, n=4, shape=(12, 12, 12)):
         rng = np.random.default_rng(0)

@@ -12,6 +12,8 @@ from micformer_tpu.convert.torch_import import (
     vtunet_params_from_swin2d,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
 DEPTHS = (2, 2, 2, 1)
 HEADS = (3, 6, 12, 24)
 E = 24

@@ -17,6 +17,9 @@ from micformer_tpu.data.loader import DataLoader
 from micformer_tpu.train import Trainer, TrainConfig
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
+
 # ---------------------------------------------------------------------------
 # config merge: YAML presets survive unpassed CLI flags (ADVICE high #1)
 # ---------------------------------------------------------------------------

@@ -12,6 +12,9 @@ from micformer_tpu.data.loader import DataLoader
 from micformer_tpu.train import Trainer, TrainConfig
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
+
 @pytest.fixture(scope="module")
 def loaders(tmp_path_factory):
     from micformer_tpu.data import get_datasets
@@ -86,3 +89,49 @@ def test_nan_guard_skips_step(tmp_path):
     state2, metrics = tr.train_step(state, images, labels, jax.random.key(0))
     assert bool(metrics["skipped"])
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state2.params)[0]), np.asarray(p0))
+
+
+def test_case_parallel_validation_matches_serial(loaders, tmp_path):
+    """Live val-case sharding (nnUNetTrainerV2_DDP.py:492 parity): validate()
+    on a >1-device mesh evaluates one case per device via shard_map; its
+    metrics must equal the serial per-case loop bit-for-bit."""
+    from micformer_tpu.parallel import make_mesh
+
+    _, val_loader = loaders
+    model = registry.build("unet3d", channels=(4, 8))
+    cfg = TrainConfig(epochs=1, lr=1e-3, run_dir=str(tmp_path / "cps"),
+                      scheduler="constant", seed=7)
+    serial = Trainer(model, cfg, mesh=None)
+    state = serial.init_state((1, 2, 16, 16, 16))
+    ref = serial.validate(state, val_loader)
+
+    mesh = make_mesh()
+    par = Trainer(model, TrainConfig(**{**cfg.__dict__,
+                                        "run_dir": str(tmp_path / "cpp")}),
+                  mesh=mesh)
+    got = par.validate(par.init_state((1, 2, 16, 16, 16)), val_loader)
+    assert got["per_class_dice"].shape == ref["per_class_dice"].shape
+    np.testing.assert_array_equal(got["per_class_dice"], ref["per_class_dice"])
+    assert got["val_loss"] == ref["val_loss"]
+    assert got["meandice"] == ref["meandice"]
+
+
+def test_case_parallel_validation_sliding_window(loaders, tmp_path):
+    """Case-parallel validate through the sliding-window eval path (roi
+    smaller than the volume) must also match serial exactly."""
+    from micformer_tpu.parallel import make_mesh
+
+    _, val_loader = loaders
+    model = registry.build("unet3d", channels=(4, 8))
+    base = dict(epochs=1, lr=1e-3, scheduler="constant", seed=7,
+                roi=(8, 8, 8), sw_batch_size=1)
+    serial = Trainer(model, TrainConfig(run_dir=str(tmp_path / "sws"), **base))
+    state = serial.init_state((1, 2, 16, 16, 16))
+    ref = serial.validate(state, val_loader)
+
+    par = Trainer(model, TrainConfig(run_dir=str(tmp_path / "swp"), **base),
+                  mesh=make_mesh())
+    got = par.validate(par.init_state((1, 2, 16, 16, 16)), val_loader)
+    np.testing.assert_array_equal(got["per_class_dice"], ref["per_class_dice"])
+    assert got["val_loss"] == ref["val_loss"]
+    assert got["meandice"] == ref["meandice"]

@@ -7,6 +7,10 @@ from micformer_tpu.data.loader import DataLoader
 from micformer_tpu.train import Trainer, TrainConfig
 from tests.test_resume import TinyDS
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
 
 def test_patience_early_stop(tmp_path):
     ds = TinyDS()
