@@ -1,0 +1,202 @@
+"""Zoo-wide torch -> flax weight transplantation (VERDICT r2 item 1).
+
+For each re-built model family with a runnable torch definition inside the
+reference repo, this module provides:
+  - `load_reference_<family>()` — instantiate the reference torch model
+    (read-only import of UNTRUSTED reference code, numeric comparison only);
+  - `<family>_params_from_torch(state_dict)` — map its state_dict into the
+    flax params tree of the corresponding micformer_tpu model.
+
+Together with tests/test_torch_parity.py these turn the compressed flax zoo
+from "plausible" into "measured": full-model forward logits are asserted
+against the reference implementations (the MicFormer recipe,
+convert/torch_import.py, applied zoo-wide).
+
+Kernel layout rules are shared with torch_import.py (linear_kernel,
+conv3d_kernel, conv_transpose3d_kernel).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+
+from micformer_tpu.convert.torch_import import (
+    conv3d_kernel,
+    conv_transpose3d_kernel,
+    linear_kernel,
+    _install_timm_shim,
+)
+
+REFERENCE = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# import machinery: synthetic packages over the read-only reference tree
+# ---------------------------------------------------------------------------
+
+def _synthetic_package(name: str, path: str):
+    """Register an EMPTY package module with __path__=[path] so submodules
+    import via the normal machinery without executing the real __init__.py
+    (whose transitive imports pull in uninstalled deps like batchgenerators)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [path]
+    sys.modules[name] = pkg
+    return pkg
+
+
+def _load_module(full_name: str, file_path: str):
+    if full_name in sys.modules:
+        return sys.modules[full_name]
+    spec = importlib.util.spec_from_file_location(full_name, file_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _extend_timm_shim():
+    """nnFormer/SwinUnet additionally import to_3tuple/to_2tuple/trunc_normal_
+    from timm.models.layers (nnFormer_tumor.py:14)."""
+    _install_timm_shim()
+    layers = sys.modules["timm.models.layers"]
+    if hasattr(layers, "to_3tuple"):
+        return
+    import torch
+
+    def _to_ntuple(n):
+        def cast(x):
+            if isinstance(x, (tuple, list)):
+                return tuple(x)
+            return (x,) * n
+        return cast
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(min=a * std, max=b * std)
+        return tensor
+
+    layers.to_2tuple = _to_ntuple(2)
+    layers.to_3tuple = _to_ntuple(3)
+    layers.trunc_normal_ = trunc_normal_
+
+
+def _numpy_sd(state_dict) -> dict:
+    return {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+            for k, v in state_dict.items()}
+
+
+def _ln(sd, prefix):
+    return {"scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"])}
+
+
+def _dense(sd, prefix):
+    out = {"kernel": linear_kernel(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _conv(sd, prefix):
+    out = {"kernel": conv3d_kernel(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _depthwise_transpose_kernel(w: np.ndarray) -> np.ndarray:
+    """torch depthwise ConvTranspose3d weight [C, 1, kd, kh, kw] -> flax
+    kernel [kd, kh, kw, 1, C] for the zero-dilate+conv formulation (the
+    transpose conv correlates with the SPATIALLY FLIPPED kernel,
+    tests/test_layer_parity.py:18)."""
+    w = np.asarray(w)[:, 0, ::-1, ::-1, ::-1]          # [C, kd, kh, kw]
+    return np.ascontiguousarray(np.transpose(w, (1, 2, 3, 0))[:, :, :, None, :])
+
+
+# ---------------------------------------------------------------------------
+# MedNeXt (MedNeXt/nnunet_mednext/network_architecture/mednextv1/)
+# ---------------------------------------------------------------------------
+
+def load_reference_mednext(reference_root: str = REFERENCE, size: str = "S",
+                           in_channels: int = 2, num_classes: int = 8,
+                           kernel_size: int = 3, deep_supervision: bool = False):
+    """Instantiate the reference torch MedNeXt via create_mednext_v1
+    (create_mednext_v1.py:66-82). Returns the model in eval mode."""
+    base = os.path.join(reference_root, "MedNeXt", "nnunet_mednext",
+                        "network_architecture", "mednextv1")
+    _synthetic_package("nnunet_mednext", os.path.dirname(os.path.dirname(base)))
+    _synthetic_package("nnunet_mednext.network_architecture",
+                       os.path.dirname(base))
+    _synthetic_package("nnunet_mednext.network_architecture.mednextv1", base)
+    pfx = "nnunet_mednext.network_architecture.mednextv1"
+    _load_module(pfx + ".blocks", os.path.join(base, "blocks.py"))
+    mv1 = _load_module(pfx + ".MedNextV1", os.path.join(base, "MedNextV1.py"))
+    create = _load_module(pfx + ".create_mednext_v1",
+                          os.path.join(base, "create_mednext_v1.py"))
+    model = create.create_mednext_v1(in_channels, num_classes, size,
+                                     kernel_size, deep_supervision)
+    # M/L construct with activation checkpointing on; irrelevant in eval but
+    # the flag gates a checkpoint() path that requires grad-enabled tensors.
+    model.outside_block_checkpointing = False
+    return model.eval()
+
+
+def _mednext_block(sd, p):
+    """torch MedNeXtBlock (blocks.py:6-75) -> flax MedNeXtBlock params."""
+    out = {
+        "dw": _conv(sd, p + ".conv1"),
+        "norm": _ln(sd, p + ".norm"),
+        "expand": _conv(sd, p + ".conv2"),
+        "compress": _conv(sd, p + ".conv3"),
+    }
+    if p + ".res_conv.weight" in sd:
+        out["res"] = _conv(sd, p + ".res_conv")
+    return out
+
+
+def _mednext_up_block(sd, p):
+    """torch MedNeXtUpBlock (blocks.py:113-147): conv1 and res_conv are
+    ConvTranspose3d -> flipped kernels for the zero-dilate+conv form."""
+    out = {
+        "dw": {"kernel": _depthwise_transpose_kernel(sd[p + ".conv1.weight"]),
+               "bias": np.asarray(sd[p + ".conv1.bias"])},
+        "norm": _ln(sd, p + ".norm"),
+        "expand": _conv(sd, p + ".conv2"),
+        "compress": _conv(sd, p + ".conv3"),
+        "res": {"kernel": conv_transpose3d_kernel(sd[p + ".res_conv.weight"]),
+                "bias": np.asarray(sd[p + ".res_conv.bias"])},
+    }
+    return out
+
+
+def mednext_params_from_torch(state_dict, block_counts=(2,) * 9,
+                              deep_supervision: bool = False) -> dict:
+    """Reference MedNeXt state_dict (MedNextV1.py:7-247) -> flax MedNeXt
+    params (models/mednext.py). Stage naming: flax up{s}/dec{s} run deep to
+    shallow, so up{s} = torch up_{3-s}, dec{s}_{b} = torch dec_block_{3-s}.{b};
+    ds heads: flax ds{i} = torch out_{i} (out_0 is the main head `out`)."""
+    sd = _numpy_sd(state_dict)
+    bc = list(block_counts)
+    params = {"stem": _conv(sd, "stem"), "out": _conv(sd, "out_0.conv_out")}
+    for s in range(4):
+        for b in range(bc[s]):
+            params[f"enc{s}_{b}"] = _mednext_block(sd, f"enc_block_{s}.{b}")
+        params[f"down{s}"] = _mednext_block(sd, f"down_{s}")
+    for b in range(bc[4]):
+        params[f"bottleneck_{b}"] = _mednext_block(sd, f"bottleneck.{b}")
+    for s in range(4):  # deep -> shallow
+        t = 3 - s
+        params[f"up{s}"] = _mednext_up_block(sd, f"up_{t}")
+        for b in range(bc[5 + s]):
+            params[f"dec{s}_{b}"] = _mednext_block(sd, f"dec_block_{t}.{b}")
+    if deep_supervision:
+        for i in range(1, 5):
+            params[f"ds{i}"] = _conv(sd, f"out_{i}.conv_out")
+    return params

@@ -34,26 +34,32 @@ class MedNeXtBlock(nn.Module):
     kernel: int = 3
     do_res: bool = True
     mode: str = "same"  # same | down | up
+    faithful_up: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
         k = (self.kernel,) * 3
+        p = self.kernel // 2
         if self.mode == "down":
             h = nn.Conv(C, k, strides=(2, 2, 2), padding=self.kernel // 2,
                         feature_group_count=C, dtype=self.dtype, name="dw")(x)
         elif self.mode == "up":
             # torch: depthwise ConvTranspose3d(k, s2, pad=k//2) then
-            # F.pad (1,0,1,0,1,0) -> exactly 2x extent. Equivalent form (for a
-            # learned kernel): zero-dilate then depthwise conv with asymmetric
-            # padding (k//2+1 leading, k//2 trailing). One documented
-            # difference (tests/test_layer_parity.py): the reference's F.pad
-            # makes the leading plane a literal zero; this form computes a
-            # real windowed value there instead of a dead border.
-            p = self.kernel // 2
+            # F.pad (1,0,1,0,1,0) -> exactly 2x extent (MedNeXtUpBlock,
+            # blocks.py:113-147). Two equivalent-up-to-border forms:
+            #   faithful_up=True — exact reference semantics: dilated conv at
+            #   symmetric padding p (the un-padded ConvTranspose output,
+            #   2L-1 per axis), norm/expand/compress THERE, then the literal
+            #   leading zero plane is padded on at the end of the block.
+            #   faithful_up=False (default) — one fused asymmetric-padding
+            #   conv straight to 2L; the leading plane carries a real windowed
+            #   value instead of a dead border and the norm statistics include
+            #   it (documented deviation, tests/test_layer_parity.py).
             h = zero_dilate(x)
-            h = nn.Conv(C, k, padding=[(p + 1, p)] * 3, feature_group_count=C,
+            pad = [(p, p)] * 3 if self.faithful_up else [(p + 1, p)] * 3
+            h = nn.Conv(C, k, padding=pad, feature_group_count=C,
                         dtype=self.dtype, name="dw")(h)
         else:
             h = nn.Conv(C, k, padding=self.kernel // 2,
@@ -62,16 +68,24 @@ class MedNeXtBlock(nn.Module):
         h = nn.Conv(self.exp_r * C, (1, 1, 1), dtype=self.dtype, name="expand")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="compress")(h)
+        lead = ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0))
+        if self.mode == "up" and self.faithful_up:
+            h = jnp.pad(h, lead)  # the reference's literal-zero border plane
         if self.do_res:
             if self.mode == "down":
                 res = nn.Conv(self.out_channels, (1, 1, 1), strides=(2, 2, 2),
                               dtype=self.dtype, name="res")(x)
             elif self.mode == "up":
-                # 1³ stride-2 transpose conv + leading pad == dilate + pad + 1³ conv
+                # 1³ stride-2 transpose conv + leading pad. faithful: conv the
+                # dilated input first, pad after (border plane exactly 0, as
+                # blocks.py:146 res pad); default: pad first (border = bias).
                 res = zero_dilate(x)
-                res = jnp.pad(res, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
+                if not self.faithful_up:
+                    res = jnp.pad(res, lead)
                 res = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
                               name="res")(res)
+                if self.faithful_up:
+                    res = jnp.pad(res, lead)
             else:
                 res = x
             h = h + res
@@ -93,6 +107,7 @@ class MedNeXt(nn.Module):
     kernel: int = 3
     block_counts: Sequence[int] = tuple([2] * 9)
     deep_supervision: bool = False
+    faithful_up: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,6 +142,7 @@ class MedNeXt(nn.Module):
         for s in range(4):  # decoder stages, deep to shallow
             c_out = n * (2 ** (3 - s))
             x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True, mode="up",
+                             faithful_up=self.faithful_up,
                              dtype=self.dtype, name=f"up{s}")(x)
             x = x + skips[3 - s]
             for b in range(bc[5 + s]):
@@ -145,8 +161,10 @@ class MedNeXt(nn.Module):
 
 
 @registry.register("mednext", num_classes=8, size="S", kernel=3, deep_supervision=False)
-def build_mednext(num_classes=8, size="S", kernel=3, deep_supervision=False, dtype=jnp.float32):
+def build_mednext(num_classes=8, size="S", kernel=3, deep_supervision=False,
+                  faithful_up=False, dtype=jnp.float32):
     cfg = _SIZES[size]
     return MedNeXt(num_classes=num_classes, kernel=kernel,
                    exp_r=tuple(cfg["exp_r"]), block_counts=tuple(cfg["block_counts"]),
-                   deep_supervision=deep_supervision, dtype=dtype)
+                   deep_supervision=deep_supervision, faithful_up=faithful_up,
+                   dtype=dtype)

@@ -70,6 +70,59 @@ def test_micformer_parity_is_weight_sensitive(micformer_parity_run):
     assert np.abs(got - ref).max() > 1e-2
 
 
+def test_mednext_forward_parity():
+    """Full-model transplant parity for MedNeXt-S k3 (create_mednext_v1.py:3-17,
+    MedNextV1.py:7-389) — faithful_up reproduces the reference's literal-zero
+    up-block border planes so the comparison is element-exact everywhere."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_mednext, mednext_params_from_torch)
+
+    torch.manual_seed(0)
+    tmodel = load_reference_mednext(size="S", in_channels=2, num_classes=8)
+    params = mednext_params_from_torch(tmodel.state_dict())
+    fmodel = registry.build("mednext", size="S", faithful_up=True)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 2, 32, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 5e-4, f"max abs err {err:.2e}"
+
+
+def test_mednext_deep_supervision_parity():
+    """ds heads out_1..out_4 transplant onto ds1..ds4 and every pyramid level
+    matches (MedNextV1.py:306-335 ordering: [full, 1/2, 1/4, 1/8, 1/16])."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_mednext, mednext_params_from_torch)
+
+    torch.manual_seed(1)
+    tmodel = load_reference_mednext(size="S", in_channels=2, num_classes=8,
+                                    deep_supervision=True)
+    params = mednext_params_from_torch(tmodel.state_dict(), deep_supervision=True)
+    fmodel = registry.build("mednext", size="S", deep_supervision=True,
+                            faithful_up=True)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 2, 32, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        refs = [r.numpy() for r in tmodel(torch.from_numpy(x))]
+    gots = jax.jit(lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x))
+    assert len(gots) == len(refs) == 5
+    for lvl, (r, g) in enumerate(zip(refs, gots)):
+        g = np.asarray(g)
+        assert g.shape == r.shape
+        err = np.abs(g - r).max()
+        assert err < 5e-4, f"level {lvl}: max abs err {err:.2e}"
+
+
 def test_param_count_matches_torch(micformer_parity_run):
     """count_parameters parity: the flax tree holds exactly the torch
     parameter budget minus the reference's dead concat_back_dim[0] (built,
