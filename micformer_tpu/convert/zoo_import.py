@@ -200,3 +200,129 @@ def mednext_params_from_torch(state_dict, block_counts=(2,) * 9,
         for i in range(1, 5):
             params[f"ds{i}"] = _conv(sd, f"out_{i}.conv_out")
     return params
+
+
+# ---------------------------------------------------------------------------
+# TransBTS (TransBTS/TransBTS/{TransBTS,Transformer,Unet_skipconnection}.py)
+# ---------------------------------------------------------------------------
+
+def _batch_stat_batchnorms(model):
+    """Make every BatchNorm3d use batch statistics even in eval mode (clear
+    running stats). At batch 1, BN-over-(N,spatial) == InstanceNorm, which is
+    how the rebuild implements the reference's BatchNorm3d layers functionally
+    (models/transbts.py norm-equivalence note)."""
+    import torch.nn as nn
+
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            m.track_running_stats = False
+            m.running_mean = None
+            m.running_var = None
+    return model
+
+
+def load_reference_transbts(reference_root: str = REFERENCE, img_dim: int = 32,
+                            num_channels: int = 2, num_classes: int = 8,
+                            embedding_dim: int = 512, num_heads: int = 8,
+                            num_layers: int = 4, hidden_dim: int = 4096):
+    """Instantiate the reference torch BTS (TransBTS.py:155-238) at `img_dim`.
+
+    Two reference quirks are neutralized for deterministic comparison:
+      - InitConv calls F.dropout3d without a training flag, so dropout runs
+        even in eval (Unet_skipconnection.py:30) — set p=0;
+      - LearnedPositionalEncoding hard-codes a [1, 4096, 512] parameter
+        (PositionalEncoding.py:28), which only broadcasts at img_dim=128 —
+        re-size it to the actual token count (randomized: the stored init is
+        all-zeros, which would make parity insensitive to the pos embed).
+    """
+    import torch
+
+    base = os.path.join(reference_root, "TransBTS", "TransBTS")
+    pkg = "_ref_transbts"
+    _synthetic_package(pkg, base)
+    for mod in ("IntmdSequential", "PositionalEncoding", "Unet_skipconnection",
+                "Transformer", "TransBTS"):
+        _load_module(f"{pkg}.{mod}", os.path.join(base, mod + ".py"))
+    BTS = sys.modules[f"{pkg}.TransBTS"].BTS
+    model = BTS(img_dim=img_dim, patch_dim=8, num_channels=num_channels,
+                num_classes=num_classes, embedding_dim=embedding_dim,
+                num_heads=num_heads, num_layers=num_layers,
+                hidden_dim=hidden_dim, dropout_rate=0.0, attn_dropout_rate=0.0)
+    n_tokens = (img_dim // 8) ** 3
+    model.position_encoding.position_embeddings = torch.nn.Parameter(
+        0.02 * torch.randn(1, n_tokens, embedding_dim))
+    model.Unet.InitConv.dropout = 0.0
+    return _batch_stat_batchnorms(model).eval()
+
+
+def _in_from_bn(sd, prefix):
+    """BatchNorm3d affine params -> InstanceNorm {scale, bias} (batch-stats
+    BN at batch 1 == InstanceNorm)."""
+    return {"scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"])}
+
+
+def _transbts_enblock(sd, p):
+    """Unet EnBlock (Unet_skipconnection.py:35-57): gn->relu->conv x2."""
+    return {"GroupNorm_0": _ln(sd, p + ".bn1"), "Conv_0": _conv(sd, p + ".conv1"),
+            "GroupNorm_1": _ln(sd, p + ".bn2"), "Conv_1": _conv(sd, p + ".conv2")}
+
+
+def _transbts_deblock(sd, p):
+    """decoder EnBlock2/DeBlock (TransBTS.py:256-314): conv->bn->relu x2."""
+    return {"Conv_0": _conv(sd, p + ".conv1"), "InstanceNorm_0": _in_from_bn(sd, p + ".bn1"),
+            "Conv_1": _conv(sd, p + ".conv2"), "InstanceNorm_1": _in_from_bn(sd, p + ".bn2")}
+
+
+def transbts_params_from_torch(state_dict, num_layers: int = 4) -> dict:
+    """Reference BTS state_dict -> flax TransBTS params (models/transbts.py).
+
+    Notes: the torch SelfAttention qkv has no bias (Transformer.py:14
+    qkv_bias=False) — the flax Dense bias is set to zero; pre_head_ln is
+    dropped (decode consumes the pre-LN transformer output, TransBTS.py:206)."""
+    sd = _numpy_sd(state_dict)
+    params = {
+        "init_conv": _conv(sd, "Unet.InitConv.conv"),
+        "en1": _transbts_enblock(sd, "Unet.EnBlock1"),
+        "down1": _conv(sd, "Unet.EnDown1.conv"),
+        "en2_1": _transbts_enblock(sd, "Unet.EnBlock2_1"),
+        "en2_2": _transbts_enblock(sd, "Unet.EnBlock2_2"),
+        "down2": _conv(sd, "Unet.EnDown2.conv"),
+        "en3_1": _transbts_enblock(sd, "Unet.EnBlock3_1"),
+        "en3_2": _transbts_enblock(sd, "Unet.EnBlock3_2"),
+        "down3": _conv(sd, "Unet.EnDown3.conv"),
+        "en4_1": _transbts_enblock(sd, "Unet.EnBlock4_1"),
+        "en4_2": _transbts_enblock(sd, "Unet.EnBlock4_2"),
+        "en4_3": _transbts_enblock(sd, "Unet.EnBlock4_3"),
+        "en4_4": _transbts_enblock(sd, "Unet.EnBlock4_4"),
+        "pre_vit_norm": _in_from_bn(sd, "bn"),
+        "conv_x": _conv(sd, "conv_x"),
+        "pos_embed": np.asarray(sd["position_encoding.position_embeddings"]),
+        # decoder EnBlock1 (512->128 double conv, no residual): auto-named
+        "Conv_0": _conv(sd, "Enblock8_1.conv1"),
+        "InstanceNorm_0": _in_from_bn(sd, "Enblock8_1.bn1"),
+        "Conv_1": _conv(sd, "Enblock8_1.conv2"),
+        "InstanceNorm_1": _in_from_bn(sd, "Enblock8_1.bn2"),
+        "deblock8": _transbts_deblock(sd, "Enblock8_2"),
+        "endconv": _conv(sd, "endconv"),
+    }
+    for i in range(num_layers):
+        attn, ffn = f"transformer.net.{2 * i}.fn", f"transformer.net.{2 * i + 1}.fn"
+        qkv_w = linear_kernel(sd[attn + ".fn.qkv.weight"])
+        params[f"vit{i}"] = {
+            "LayerNorm_0": _ln(sd, attn + ".norm"),
+            "qkv": {"kernel": qkv_w,
+                    "bias": np.zeros(qkv_w.shape[1], qkv_w.dtype)},
+            "proj": _dense(sd, attn + ".fn.proj"),
+            "LayerNorm_1": _ln(sd, ffn + ".norm"),
+            "Mlp_0": {"Dense_0": _dense(sd, ffn + ".fn.net.0"),
+                      "Dense_1": _dense(sd, ffn + ".fn.net.3")},
+        }
+    for j, t in enumerate((4, 3, 2)):  # DeUp4/DeBlock4 deepest -> deup0/deblock0
+        params[f"deup{j}_c1"] = _conv(sd, f"DeUp{t}.conv1")
+        params[f"deup{j}_up"] = {
+            "kernel": conv_transpose3d_kernel(sd[f"DeUp{t}.conv2.weight"]),
+            "bias": np.asarray(sd[f"DeUp{t}.conv2.bias"])}
+        params[f"deup{j}_c3"] = _conv(sd, f"DeUp{t}.conv3")
+        params[f"deblock{j}"] = _transbts_deblock(sd, f"DeBlock{t}")
+    return params

@@ -106,8 +106,12 @@ class TransBTS(nn.Module):
         x3 = EnBlock(dtype=self.dtype, name="en3_2")(h)
         h = nn.Conv(8 * bc, (3, 3, 3), strides=(2, 2, 2), padding=1,
                     dtype=self.dtype, name="down3")(x3)
+        # stage 4 is FOUR residual blocks (Unet_skipconnection.py:88-92
+        # EnBlock4_1..EnBlock4_4)
         h = EnBlock(dtype=self.dtype, name="en4_1")(h)
         h = EnBlock(dtype=self.dtype, name="en4_2")(h)
+        h = EnBlock(dtype=self.dtype, name="en4_3")(h)
+        h = EnBlock(dtype=self.dtype, name="en4_4")(h)
 
         # --- tokenize + ViT bottleneck
         B, D, H, W, _ = h.shape

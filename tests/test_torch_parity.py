@@ -123,6 +123,35 @@ def test_mednext_deep_supervision_parity():
         assert err < 5e-4, f"level {lvl}: max abs err {err:.2e}"
 
 
+def test_transbts_forward_parity():
+    """Full-model transplant parity for TransBTS (TransBTS.py:155-238 BTS:
+    conv encoder + 4-layer ViT bottleneck + DeUp_Cat decoder + softmax).
+    BatchNorms run on batch statistics (== InstanceNorm at batch 1); the
+    reference's always-on eval dropout and hard-coded [1,4096,512] pos embed
+    are neutralized in the loader (documented quirks)."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_transbts, transbts_params_from_torch)
+
+    torch.manual_seed(2)
+    tmodel = load_reference_transbts(img_dim=32, num_channels=2, num_classes=8)
+    params = transbts_params_from_torch(tmodel.state_dict())
+    fmodel = registry.build("transbts", num_classes=8)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 2, 32, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    # softmax output: probabilities in [0,1]
+    np.testing.assert_allclose(got.sum(1), 1.0, atol=1e-4)
+    err = np.abs(got - ref).max()
+    assert err < 5e-4, f"max abs err {err:.2e}"
+
+
 def test_param_count_matches_torch(micformer_parity_run):
     """count_parameters parity: the flax tree holds exactly the torch
     parameter budget minus the reference's dead concat_back_dim[0] (built,
