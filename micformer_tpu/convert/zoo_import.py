@@ -326,3 +326,171 @@ def transbts_params_from_torch(state_dict, num_layers: int = 4) -> dict:
         params[f"deup{j}_c3"] = _conv(sd, f"DeUp{t}.conv3")
         params[f"deblock{j}"] = _transbts_deblock(sd, f"DeBlock{t}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# nnFormer (nnFormer/nnformer/nnFormer_tumor.py)
+# ---------------------------------------------------------------------------
+
+def load_reference_nnformer(reference_root: str = REFERENCE, crop_size=(64, 64, 64),
+                            embed_dim: int = 96, in_channels: int = 2,
+                            num_classes: int = 8, depths=(2, 2, 2, 2),
+                            num_heads=(3, 6, 12, 24), patch_size=(4, 4, 4),
+                            window_sizes=(4, 4, 8, 4),
+                            deep_supervision: bool = False):
+    """Instantiate the reference torch nnFormer (nnFormer_tumor.py:889-955,
+    the MM-WHS Head config train_mmwhs_noPad.py:92-98). The heavyweight
+    `.neural_network`/`.initialization` relative imports are shimmed (only the
+    SegmentationNetwork base class and InitWeights_He symbols are used)."""
+    import torch.nn as nn
+
+    _extend_timm_shim()
+    pkg = "_ref_nnformer"
+    base = os.path.join(reference_root, "nnFormer", "nnformer")
+    _synthetic_package(pkg, base)
+    if f"{pkg}.neural_network" not in sys.modules:
+        nn_mod = types.ModuleType(f"{pkg}.neural_network")
+
+        class SegmentationNetwork(nn.Module):
+            def __init__(self):
+                super().__init__()
+
+        nn_mod.SegmentationNetwork = SegmentationNetwork
+        sys.modules[f"{pkg}.neural_network"] = nn_mod
+        init_mod = types.ModuleType(f"{pkg}.initialization")
+
+        class InitWeights_He:
+            def __init__(self, neg_slope=1e-2):
+                self.neg_slope = neg_slope
+
+            def __call__(self, module):
+                return module
+
+        init_mod.InitWeights_He = InitWeights_He
+        sys.modules[f"{pkg}.initialization"] = init_mod
+    mod = _load_module(f"{pkg}.nnFormer_tumor",
+                       os.path.join(base, "nnFormer_tumor.py"))
+    model = mod.nnFormer(
+        crop_size=list(crop_size), embedding_dim=embed_dim,
+        input_channels=in_channels, num_classes=num_classes,
+        depths=list(depths), num_heads=list(num_heads),
+        patch_size=list(patch_size), window_size=list(window_sizes),
+        deep_supervision=deep_supervision)
+    return model.eval()
+
+
+def nnformer_rpe_remap(table: np.ndarray, window_size) -> np.ndarray:
+    """Re-index a reference nnFormer relative-position bias table onto the
+    standard 3D Swin mixed radix.
+
+    The reference flattens displacement triples with a scrambled radix —
+    `coords[...,0] *= 3*ws[1]-1; coords[...,1] *= 2*ws[1]-1`
+    (nnFormer_tumor.py:184-186 and :262-264) — while the rebuild uses the
+    bijective standard index (ops/windows.relative_position_index). Both
+    tables have (2wd-1)(2wh-1)(2ww-1) rows; copying row scrambled(d) to row
+    standard(d) for every displacement d makes the flax lookup produce the
+    reference's exact bias values (collisions in the scrambled index simply
+    duplicate the shared row)."""
+    wd, wh, ww = window_size
+    t = np.asarray(table)
+    out = np.zeros_like(t)
+    for dz in range(2 * wd - 1):
+        for dy in range(2 * wh - 1):
+            for dx in range(2 * ww - 1):
+                std = (dz * (2 * wh - 1) + dy) * (2 * ww - 1) + dx
+                scr = dz * (3 * wh - 1) + dy * (2 * wh - 1) + dx
+                out[std] = t[scr]
+    return out
+
+
+def _nnformer_swin_block(sd, p, ws) -> dict:
+    """torch SwinTransformerBlock (nnFormer_tumor.py:310-398) -> flax
+    SwinBlock3D params; `ws` is the CLAMPED cubic window for the rpe remap."""
+    return {
+        "LayerNorm_0": _ln(sd, p + ".norm1"),
+        "attn": {
+            "qkv": _dense(sd, p + ".attn.qkv"),
+            "proj": _dense(sd, p + ".attn.proj"),
+            "rel_pos_bias_table": nnformer_rpe_remap(
+                sd[p + ".attn.relative_position_bias_table"], ws),
+        },
+        "LayerNorm_1": _ln(sd, p + ".norm2"),
+        "Mlp_0": {"Dense_0": _dense(sd, p + ".mlp.fc1"),
+                  "Dense_1": _dense(sd, p + ".mlp.fc2")},
+    }
+
+
+def _nnformer_kv_block(sd, p, ws) -> dict:
+    """torch SwinTransformerBlock_kv (:62-155) -> flax SkipKVBlock params."""
+    return {
+        "norm1": _ln(sd, p + ".norm1"),
+        "kv": _dense(sd, p + ".attn.kv"),
+        "proj": _dense(sd, p + ".attn.proj"),
+        "rel_pos_bias_table": nnformer_rpe_remap(
+            sd[p + ".attn.relative_position_bias_table"], ws),
+        "norm2": _ln(sd, p + ".norm2"),
+        "mlp": {"Dense_0": _dense(sd, p + ".mlp.fc1"),
+                "Dense_1": _dense(sd, p + ".mlp.fc2")},
+    }
+
+
+def _clamped_ws(res: int, ws: int) -> tuple:
+    """The reference per-block clamp (nnFormer_tumor.py:75-78,323-326):
+    window := min(resolution) when the window would exceed the input."""
+    w = res if res <= ws else ws
+    return (w, w, w)
+
+
+def nnformer_params_from_torch(state_dict, crop_size=(64, 64, 64),
+                               depths=(2, 2, 2, 2), patch_size=(4, 4, 4),
+                               window_sizes=(4, 4, 8, 4),
+                               deep_supervision: bool = False) -> dict:
+    """Reference nnFormer state_dict -> flax NnFormer params (models/nnformer.py).
+
+    crop_size/window_sizes are needed to reproduce the construction-time
+    window clamp (table row counts follow the clamped window). Decoder stage
+    naming: flax dec{s} runs deep->shallow, torch decoder.layers.{j} is built
+    shallow->deep, so s = (n-2) - j."""
+    sd = _numpy_sd(state_dict)
+    n = len(depths)
+    res = [min(c // p for c, p in zip(crop_size, patch_size)) // 2 ** i
+           for i in range(n)]
+    params = {
+        "stem1": {"Conv_0": _conv(sd, "model_down.patch_embed.proj1.conv1"),
+                  "LayerNorm_0": _ln(sd, "model_down.patch_embed.proj1.norm1"),
+                  "Conv_1": _conv(sd, "model_down.patch_embed.proj1.conv2"),
+                  "LayerNorm_1": _ln(sd, "model_down.patch_embed.proj1.norm2")},
+        "stem2": {"Conv_0": _conv(sd, "model_down.patch_embed.proj2.conv1"),
+                  "LayerNorm_0": _ln(sd, "model_down.patch_embed.proj2.norm1"),
+                  "Conv_1": _conv(sd, "model_down.patch_embed.proj2.conv2")},
+        "patch_norm": _ln(sd, "model_down.patch_embed.norm"),
+    }
+    for i in range(n):
+        ws = _clamped_ws(res[i], window_sizes[i])
+        for b in range(depths[i]):
+            params[f"enc{i}_b{b}"] = _nnformer_swin_block(
+                sd, f"model_down.layers.{i}.blocks.{b}", ws)
+        params[f"skip_norm{i}"] = _ln(sd, f"model_down.norm{i}")
+        if i < n - 1:
+            params[f"merge_norm{i}"] = _ln(sd, f"model_down.layers.{i}.downsample.norm")
+            params[f"merge{i}"] = _conv(sd, f"model_down.layers.{i}.downsample.reduction")
+    dec_ws = list(window_sizes[::-1][1:])
+    dec_depths = list(depths[::-1][1:])
+    for s in range(n - 1):
+        i = n - 2 - s          # target encoder stage
+        j = n - 2 - s          # torch decoder.layers index (shallow-built)
+        p = f"decoder.layers.{j}"
+        params[f"up_norm{s}"] = _ln(sd, p + ".Upsample.norm")
+        params[f"up{s}"] = {
+            "kernel": conv_transpose3d_kernel(sd[p + ".Upsample.up.weight"]),
+            "bias": np.asarray(sd[p + ".Upsample.up.bias"])}
+        ws = _clamped_ws(res[i], dec_ws[s])
+        params[f"dec{s}_kv"] = _nnformer_kv_block(sd, p + ".blocks.0", ws)
+        for b in range(1, dec_depths[s]):
+            params[f"dec{s}_b{b}"] = _nnformer_swin_block(sd, p + f".blocks.{b}", ws)
+    heads = range(n - 1) if deep_supervision else (0,)
+    for hj in heads:
+        params[f"head{hj}"] = {
+            "kernel": conv_transpose3d_kernel(sd[f"final.{hj}.up.weight"]),
+            "bias": np.asarray(sd[f"final.{hj}.up.bias"])}
+    return params

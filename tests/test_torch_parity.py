@@ -152,6 +152,68 @@ def test_transbts_forward_parity():
     assert err < 5e-4, f"max abs err {err:.2e}"
 
 
+def test_nnformer_forward_parity():
+    """Full-model transplant parity for nnFormer (nnFormer_tumor.py:889-955,
+    MM-WHS Head config): conv stems, per-stage windows incl. the
+    construction-time clamp, skip-KV decoder, scrambled-rpe table remap."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_nnformer, nnformer_params_from_torch)
+
+    torch.manual_seed(3)
+    crop = (64, 64, 64)
+    tmodel = load_reference_nnformer(crop_size=crop, in_channels=2, num_classes=8)
+    # bias tables init to trunc_normal(0.02); bump them so the rpe remap is
+    # actually load-bearing in the comparison
+    with torch.no_grad():
+        for name, p in tmodel.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.mul_(20.0)
+    params = nnformer_params_from_torch(tmodel.state_dict(), crop_size=crop)
+    fmodel = registry.build("nnformer", num_classes=8)
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 2) + crop).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 5e-4, f"max abs err {err:.2e}"
+
+
+def test_nnformer_deep_supervision_parity():
+    """ds heads final.{0,1,2} transplant onto head{0,1,2}; all three pyramid
+    levels match in the reference's returned order (full-res first,
+    nnFormer_tumor.py:944-951 seg_outputs[::-1])."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_nnformer, nnformer_params_from_torch)
+
+    torch.manual_seed(4)
+    crop = (32, 32, 32)
+    tmodel = load_reference_nnformer(crop_size=crop, in_channels=2,
+                                     num_classes=8, deep_supervision=True)
+    params = nnformer_params_from_torch(tmodel.state_dict(), crop_size=crop,
+                                        deep_supervision=True)
+    fmodel = registry.build("nnformer", num_classes=8, deep_supervision=True)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 2) + crop).astype(np.float32)
+    with torch.no_grad():
+        refs = [r.numpy() for r in tmodel(torch.from_numpy(x))]
+    gots = jax.jit(lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x))
+    assert len(gots) == len(refs) == 3
+    for lvl, (r, g) in enumerate(zip(refs, gots)):
+        g = np.asarray(g)
+        assert g.shape == r.shape
+        err = np.abs(g - r).max()
+        assert err < 5e-4, f"level {lvl}: max abs err {err:.2e}"
+
+
 def test_param_count_matches_torch(micformer_parity_run):
     """count_parameters parity: the flax tree holds exactly the torch
     parameter budget minus the reference's dead concat_back_dim[0] (built,
