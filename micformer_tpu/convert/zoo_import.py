@@ -494,3 +494,99 @@ def nnformer_params_from_torch(state_dict, crop_size=(64, 64, 64),
             "kernel": conv_transpose3d_kernel(sd[f"final.{hj}.up.weight"]),
             "bias": np.asarray(sd[f"final.{hj}.up.bias"])}
     return params
+
+
+# ---------------------------------------------------------------------------
+# SwinUnet3D (SwinUnet/SwinUnet_3DV1/SwinUnet_3D.py)
+# ---------------------------------------------------------------------------
+
+def load_reference_swinunet3d(reference_root: str = REFERENCE, hidden_dim: int = 96,
+                              layers=(2, 2, 4, 2), heads=(3, 6, 9, 12),
+                              in_channels: int = 2, num_classes: int = 8,
+                              head_dim: int = 32, window_size: int = 4,
+                              downscaling_factors=(4, 2, 2, 2)):
+    """Instantiate the reference torch SwinUnet3D (SwinUnet_3D.py:420-524)."""
+    _extend_timm_shim()
+    base = os.path.join(reference_root, "SwinUnet", "SwinUnet_3DV1")
+    mod = _load_module("_ref_swinunet3d", os.path.join(base, "SwinUnet_3D.py"))
+    model = mod.SwinUnet3D(
+        hidden_dim=hidden_dim, layers=list(layers), heads=list(heads),
+        in_channel=in_channels, num_classes=num_classes, head_dim=head_dim,
+        window_size=window_size, downscaling_factors=tuple(downscaling_factors))
+    return model.eval()
+
+
+def _swinunet_norm(sd, p):
+    """reference `Norm` (SwinUnet_3D.py:235-251): LayerNorm at net.1 inside
+    the Rearrange sandwich -> flax ChannelNorm {LayerNorm_0}."""
+    return {"LayerNorm_0": _ln(sd, p + ".net.1")}
+
+
+def _swinunet_convblock(sd, p):
+    """gated ConvBlock (:305-322): conv/Norm/PReLU x2, net indices 0..5."""
+    return {
+        "Conv_0": _conv(sd, p + ".net.0"),
+        "ChannelNorm_0": _swinunet_norm(sd, p + ".net.1"),
+        "PReLU_0": {"alpha": np.asarray(sd[p + ".net.2.weight"])},
+        "Conv_1": _conv(sd, p + ".net.3"),
+        "ChannelNorm_1": _swinunet_norm(sd, p + ".net.4"),
+        "PReLU_1": {"alpha": np.asarray(sd[p + ".net.5.weight"])},
+    }
+
+
+def _swinunet_swinblock(sd, p):
+    """SwinBlock3D (:222-232): Residual(PreNorm(attn)) + Residual(PreNorm(ff));
+    to_qkv has no bias (:143)."""
+    return {
+        "LayerNorm_0": _ln(sd, p + ".attention_block.fn.norm"),
+        "attn": {
+            "qkv": {"kernel": linear_kernel(sd[p + ".attention_block.fn.fn.to_qkv.weight"])},
+            "proj": _dense(sd, p + ".attention_block.fn.fn.to_out"),
+        },
+        "LayerNorm_1": _ln(sd, p + ".mlp_block.fn.norm"),
+        "Mlp_0": {"Dense_0": _dense(sd, p + ".mlp_block.fn.fn.net.0"),
+                  "Dense_1": _dense(sd, p + ".mlp_block.fn.fn.net.2")},
+    }
+
+
+def _swinunet_stage(sd, p, n_layers: int, up: bool) -> dict:
+    out = {"conv_block": _swinunet_convblock(sd, p + ".conv_block")}
+    if up:
+        out["expand"] = {
+            "kernel": conv_transpose3d_kernel(sd[p + ".patch_expand.net.0.weight"]),
+            "bias": np.asarray(sd[p + ".patch_expand.net.0.bias"])}
+        out["ChannelNorm_0"] = _swinunet_norm(sd, p + ".patch_expand.net.1")
+    else:
+        out["merge"] = _conv(sd, p + ".patch_partition.net.0")
+        out["ChannelNorm_0"] = _swinunet_norm(sd, p + ".patch_partition.net.1")
+    for i in range(n_layers // 2):
+        out[f"swin{i}_reg"] = _swinunet_swinblock(sd, p + f".swin_layers.{i}.0")
+        out[f"swin{i}_shift"] = _swinunet_swinblock(sd, p + f".swin_layers.{i}.1")
+    return out
+
+
+def swinunet3d_params_from_torch(state_dict, layers=(2, 2, 4, 2)) -> dict:
+    """Reference SwinUnet3D state_dict -> flax SwinUnet3D params
+    (models/swinunet3d.py). The x/y/z shifted-window mask buffers are
+    derived constants in the rebuild (ops/windows) and are skipped."""
+    sd = _numpy_sd(state_dict)
+    la = list(layers)
+    params = {
+        "down12": _swinunet_stage(sd, "down_stage12", la[0], up=False),
+        "down3": _swinunet_stage(sd, "down_stage3", la[1], up=False),
+        "down4": _swinunet_stage(sd, "down_stage4", la[2], up=False),
+        "features": _swinunet_stage(sd, "features", la[3], up=False),
+        "up4": _swinunet_stage(sd, "up_stage4", la[2], up=True),
+        "up3": _swinunet_stage(sd, "up_stage3", la[1], up=True),
+        "up12": _swinunet_stage(sd, "up_stage12", la[0], up=True),
+        "converge4": _swinunet_norm(sd, "converge4.norm"),
+        "converge3": _swinunet_norm(sd, "converge3.norm"),
+        "converge12": _swinunet_norm(sd, "converge12.norm"),
+        "final_expand": {
+            "kernel": conv_transpose3d_kernel(sd["final.net.0.weight"]),
+            "bias": np.asarray(sd["final.net.0.bias"])},
+        "ChannelNorm_0": _swinunet_norm(sd, "final.net.1"),
+        "PReLU_0": {"alpha": np.asarray(sd["final.net.2.weight"])},
+        "head": _conv(sd, "out.0"),
+    }
+    return params

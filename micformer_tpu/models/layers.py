@@ -17,6 +17,8 @@ functionally replace (studied, not translated):
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -100,7 +102,7 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None):
+    def __call__(self, x, context=None, mask=None, window_perm=None):
         N, T, C = x.shape
         h = self.num_heads
         inner = (self.head_dim * h) if self.head_dim else self.dim
@@ -112,6 +114,15 @@ class WindowAttention3D(nn.Module):
         else:
             qkv = nn.Dense(3 * inner, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
+        if window_perm is not None:
+            # faithful SwinUnet3D shifted-window scramble (SwinUnet_3D.py:185-
+            # 203): the reference's einops chain permutes the window axis of
+            # the masked logits — but not the values — so window w attends
+            # with window perm[w]'s q·k pattern. Replicated by permuting q, k
+            # (and the caller-permuted mask) while v stays in place.
+            nW = len(window_perm)
+            idx = (np.arange(N // nW)[:, None] * nW + np.asarray(window_perm)).ravel()
+            q, k = q[idx], k[idx]
         q, k, v = split_heads(q, h), split_heads(k, h), split_heads(v, h)
 
         bias = None
@@ -150,32 +161,49 @@ class SwinBlock3D(nn.Module):
     drop_path: float = 0.0
     dropout: float = 0.0
     head_dim: int | None = None
+    swinunet_scramble: bool = False  # faithful SwinUnet3D shifted-window quirk
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, D, H, W, C = x.shape
-        ws, ss = adjust_window_shift((D, H, W), self.window_size, self.shift_size)
+        if self.swinunet_scramble:
+            # the reference SwinUnet3D has no window clamp (it asserts input
+            # size instead): shift + mask run even on a single-window grid
+            ws, ss = tuple(self.window_size), tuple(self.shift_size)
+        else:
+            ws, ss = adjust_window_shift((D, H, W), self.window_size, self.shift_size)
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = pad_to_multiple(x, ws)
         _, Dp, Hp, Wp, _ = x.shape
 
         x = cyclic_shift(x, ss)
         mask = shifted_window_region_ids((Dp, Hp, Wp), ws, ss)
         wins = window_partition(x, ws)
+        perm = None
+        if self.swinunet_scramble and any(ss):
+            # the reference's post-mask einops relabeling flattens the shifted
+            # window grid as (n_z, n_x, n_y) instead of (n_x, n_y, n_z)
+            # (SwinUnet_3D.py:185-203) — a defect kept behind this flag;
+            # well-defined only on a cubic window grid, like the reference.
+            g = (Dp // ws[0], Hp // ws[1], Wp // ws[2])
+            if g[0] == g[1] == g[2] and g[0] > 1:
+                perm = np.arange(g[0] * g[1] * g[2]).reshape(g).transpose(2, 0, 1).ravel()
+                if mask is not None:
+                    mask = np.asarray(mask)[perm]
         attn = WindowAttention3D(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             rel_pos_bias=self.rel_pos_bias, head_dim=self.head_dim,
             dtype=self.dtype, name="attn",
-        )(wins, mask=mask)
+        )(wins, mask=mask, window_perm=perm)
         x = window_reverse(attn, ws, B, Dp, Hp, Wp)
         x = cyclic_shift(x, ss, reverse=True)
         x = x[:, :D, :H, :W]
 
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = Mlp(int(C * self.mlp_ratio), C, self.dropout, dtype=self.dtype)(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
@@ -193,7 +221,7 @@ class PatchEmbed3D(nn.Module):
         x = nn.Conv(self.embed_dim, self.patch_size, strides=self.patch_size,
                     padding="VALID", dtype=self.dtype)(x)
         if self.use_norm:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x
 
 
@@ -207,7 +235,7 @@ class PatchMergingConv(nn.Module):
     def __call__(self, x):
         x = nn.Conv(2 * self.dim, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
                     dtype=self.dtype)(x)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class PatchExpandConv(nn.Module):
@@ -220,7 +248,7 @@ class PatchExpandConv(nn.Module):
     def __call__(self, x):
         x = nn.ConvTranspose(self.dim // 2, (2, 2, 2), strides=(2, 2, 2),
                              padding="VALID", dtype=self.dtype)(x)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class PatchMergingLinear(nn.Module):
@@ -237,7 +265,7 @@ class PatchMergingLinear(nn.Module):
         _, Dp, Hp, Wp, _ = x.shape
         x = x.reshape(B, Dp // 2, 2, Hp // 2, 2, Wp // 2, 2, C)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, Dp // 2, Hp // 2, Wp // 2, 8 * C)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype)(x)
 
 
@@ -254,7 +282,7 @@ class PatchExpandLinear(nn.Module):
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype)(x)
         x = x.reshape(B, D, H, W, 2, 2, 2, C // 4)
         x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, 2 * D, 2 * H, 2 * W, C // 4)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class FinalPatchExpand(nn.Module):
@@ -272,7 +300,7 @@ class FinalPatchExpand(nn.Module):
         x = nn.Dense(s ** 3 * C, use_bias=False, dtype=self.dtype)(x)
         x = x.reshape(B, D, H, W, s, s, s, C)
         x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, s * D, s * H, s * W, C)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -340,9 +368,9 @@ class ConvNormAct(nn.Module):
         if self.norm == "instance":
             x = InstanceNorm(dtype=self.dtype)(x)
         elif self.norm == "group":
-            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+            x = nn.GroupNorm(epsilon=1e-5, num_groups=min(8, self.features), dtype=self.dtype)(x)
         elif self.norm == "layer":
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         if self.act == "prelu":
             x = PReLU()(x)
         elif self.act == "relu":

@@ -76,7 +76,7 @@ class CrossBlock3D(nn.Module):
         ws = adjust_window_shift((D, H, W), self.window_size)
 
         shortcut = x
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         xn = pad_to_multiple(xn, ws)
         xap = pad_to_multiple(xa, ws)
         _, Dp, Hp, Wp, _ = xn.shape
@@ -87,7 +87,7 @@ class CrossBlock3D(nn.Module):
         off = jnp.concatenate([xn, xap], axis=-1)
         off = Conv3x3ViaDot(self.hidden_channels, dtype=self.dtype,
                             name="offset_conv1")(off)
-        off = nn.LayerNorm(dtype=self.dtype, name="offset_norm")(off)
+        off = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="offset_norm")(off)
         off = nn.gelu(off, approximate=False)
         off = nn.Conv(3, (1, 1, 1), use_bias=False, dtype=self.dtype,
                       name="offset_conv2")(off)          # [B, Dp, Hp, Wp, 3]
@@ -106,7 +106,7 @@ class CrossBlock3D(nn.Module):
         h = window_reverse(attn, ws, B, Dp, Hp, Wp)[:, :D, :H, :W]
 
         x = shortcut + DropPath(self.drop_path)(h, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
@@ -241,7 +241,7 @@ class MicFormer(nn.Module):
             feats_m.append(m_out)
             feats_f.append(f_out)
 
-        bottleneck_norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        bottleneck_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         moving, fixed = bottleneck_norm(moving), bottleneck_norm(fixed)
 
         for inx, i in enumerate(reversed(range(n_layers))):
@@ -267,7 +267,7 @@ class MicFormer(nn.Module):
             _, _, moving, fixed = stage(moving, fixed, deterministic)
 
         out = jnp.concatenate([moving, fixed], axis=-1)          # 2E
-        out = nn.LayerNorm(dtype=self.dtype, name="norm2")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(out)
         rpe = nn.ConvTranspose(self.embed_dim // 2, self.patch_size,
                                strides=self.patch_size, padding="VALID",
                                dtype=self.dtype, name="reverse_patch_embed")

@@ -65,11 +65,11 @@ class ConvStem(nn.Module):
         x = nn.Conv(self.features, (3, 3, 3), strides=(self.stride,) * 3,
                     padding=1, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(x)
         if not self.last:
             x = nn.gelu(x, approximate=False)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x
 
 
@@ -89,7 +89,7 @@ class SkipKVBlock(nn.Module):
         B, D, H, W, C = x.shape
         ws = adjust_window_shift((D, H, W), self.window_size)
 
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         sk = pad_to_multiple(norm1(skip), ws)
         up = pad_to_multiple(norm1(x_up), ws)
         _, Dp, Hp, Wp, _ = sk.shape
@@ -114,7 +114,7 @@ class SkipKVBlock(nn.Module):
         out = window_reverse(out, ws, B, Dp, Hp, Wp)[:, :D, :H, :W]
 
         x = x + DropPath(self.drop_path)(out, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(4 * C, C, dtype=self.dtype, name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
@@ -137,7 +137,7 @@ class NnFormer(nn.Module):
         # two-stage conv patch embed (stride patch/2 each) + LN
         x = ConvStem(E // 2, self.patch_size[0] // 2, dtype=self.dtype, name="stem1")(x)
         x = ConvStem(E, self.patch_size[0] // 2, last=True, dtype=self.dtype, name="stem2")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         n = len(self.depths)
         dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
@@ -151,11 +151,11 @@ class NnFormer(nn.Module):
                                 rel_pos_bias=True,
                                 drop_path=dpr[sum(self.depths[:i]) + b],
                                 dtype=self.dtype, name=f"enc{i}_b{b}")(x, deterministic)
-            skips.append(nn.LayerNorm(dtype=self.dtype, name=f"skip_norm{i}")(x))
+            skips.append(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"skip_norm{i}")(x))
             if i < n - 1:
                 # PatchMerging (:401-422): GELU -> LN -> conv k3 s2
                 x = nn.gelu(x, approximate=False)
-                x = nn.LayerNorm(dtype=self.dtype, name=f"merge_norm{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"merge_norm{i}")(x)
                 x = nn.Conv(2 * dim, (3, 3, 3), strides=(2, 2, 2), padding=1,
                             dtype=self.dtype, name=f"merge{i}")(x)
 
@@ -168,7 +168,7 @@ class NnFormer(nn.Module):
             i = n - 2 - s  # target encoder stage (2, 1, 0)
             dim = E * 2 ** i
             # Patch_Expanding: LN -> ConvTranspose k2 s2 (2C -> C)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"up_norm{s}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"up_norm{s}")(x)
             x = nn.ConvTranspose(dim, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
                                  dtype=self.dtype, name=f"up{s}")(x)
             x_up = x

@@ -42,7 +42,7 @@ class ChannelNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class GatedConvBlock(nn.Module):
@@ -75,6 +75,7 @@ class SwinStage(nn.Module):
     head_dim: int
     window_size: int
     up: bool = False
+    faithful_scramble: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,7 +99,9 @@ class SwinStage(nn.Module):
                             dtype=self.dtype, name=f"swin{i}_reg")(h, deterministic)
             h = SwinBlock3D(self.features, self.num_heads, ws,
                             tuple(w // 2 for w in ws), qkv_bias=False,
-                            head_dim=self.head_dim, dtype=self.dtype,
+                            head_dim=self.head_dim,
+                            swinunet_scramble=self.faithful_scramble,
+                            dtype=self.dtype,
                             name=f"swin{i}_shift")(h, deterministic)
         return h + conv_path
 
@@ -112,6 +115,12 @@ class SwinUnet3D(nn.Module):
     window_size: int = 4
     downscaling_factors: Sequence[int] = (4, 2, 2, 2)
     stl_channels: int = 32
+    # Reference defect kept switchable (SwinUnet_3D.py:185-203): the shifted
+    # blocks' post-mask einops relabeling permutes the window grid as
+    # (n_z, n_x, n_y), pairing each window's masked q·k logits with another
+    # window's values. Default False (correct Swin behavior); True reproduces
+    # the reference bit-for-bit (used by the transplant parity test).
+    faithful_scramble: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +129,7 @@ class SwinUnet3D(nn.Module):
         hd = self.hidden_dim
         dsf = self.downscaling_factors
         common = dict(head_dim=self.head_dim, window_size=self.window_size,
+                      faithful_scramble=self.faithful_scramble,
                       dtype=self.dtype)
 
         d1 = SwinStage(hd, self.layers[0], dsf[0], self.heads[0],

@@ -34,7 +34,7 @@ from micformer_tpu import registry
 
 
 def _gn(x, dtype, name=None, groups=8):
-    return nn.GroupNorm(num_groups=min(groups, x.shape[-1]), dtype=dtype, name=name)(x)
+    return nn.GroupNorm(epsilon=1e-5, num_groups=min(groups, x.shape[-1]), dtype=dtype, name=name)(x)
 
 
 class EnBlock(nn.Module):
@@ -64,14 +64,14 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         # pre-LN self-attention over [B, N, C]
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(h)
         q, k, v = (split_heads(t, self.heads) for t in jnp.split(qkv, 3, axis=-1))
         a = merge_heads(multi_head_attention(q, k, v))
         a = nn.Dense(self.dim, dtype=self.dtype, name="proj")(a)
         a = nn.Dropout(self.dropout, deterministic=deterministic)(a)
         x = x + a
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = Mlp(self.hidden, self.dim, self.dropout, dtype=self.dtype)(h, deterministic)
         return x + h
 

@@ -118,7 +118,7 @@ class VTBlock(nn.Module):
         ws, ss = adjust_window_shift((D, H, W), self.window_size, base_shift)
 
         shortcut = x
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         xn = pad_to_multiple(xn, ws)
         _, Dp, Hp, Wp, _ = xn.shape
         xn = cyclic_shift(xn, ss)
@@ -135,7 +135,7 @@ class VTBlock(nn.Module):
             y = cyclic_shift(y, ss, reverse=True)
             return y[:, :D, :H, :W]
 
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")
         dp = DropPath(self.drop_path)
 
@@ -191,7 +191,7 @@ class VTUNet(nn.Module):
             if i < n - 1:
                 x = PatchMergingLinear(dim, dtype=self.dtype, name=f"merge{i}")(x)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         # decoder: bottleneck expand, then stages with skip concat + cross-KV
         x = PatchExpandLinear(self.embed_dim * 2 ** (n - 1), dtype=self.dtype,
@@ -213,7 +213,7 @@ class VTUNet(nn.Module):
             if inx < n - 1:
                 x = PatchExpandLinear(dim, dtype=self.dtype, name=f"up{inx}")(x)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm_up")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
         x = FinalPatchExpand(self.embed_dim, scale=self.patch_size[0],
                              dtype=self.dtype, name="final_expand")(x)
         x = nn.Conv(self.num_classes, (1, 1, 1), use_bias=False,
