@@ -565,6 +565,107 @@ def _swinunet_stage(sd, p, n_layers: int, up: bool) -> dict:
     return out
 
 
+def _install_positional_encodings_shim():
+    """TransUnet imports `positional_encodings.torch_encodings
+    .PositionalEncodingPermute3D` (attention_blocks.py:4) — the pip package is
+    not in this image. Faithful stand-in: per-axis channel groups ceil(C/6)*2
+    with INTERLEAVED (sin, cos) phase pairs (the package's get_emb =
+    stack+flatten), matching ops/pe.sinusoidal_pe_3d_interleaved."""
+    if "positional_encodings" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    from micformer_tpu.ops.pe import sinusoidal_pe_3d_interleaved
+
+    class PositionalEncodingPermute3D(nn.Module):
+        def __init__(self, channels):
+            super().__init__()
+            self.channels = channels
+
+        def forward(self, tensor):  # (N, C, D, H, W)
+            _, c, d, h, w = tensor.shape
+            pe = sinusoidal_pe_3d_interleaved(d, h, w, c)  # [D,H,W,C]
+            pe = torch.from_numpy(np.moveaxis(pe, -1, 0)).to(tensor)
+            return pe[None].expand_as(tensor)
+
+    pkg = types.ModuleType("positional_encodings")
+    te = types.ModuleType("positional_encodings.torch_encodings")
+    te.PositionalEncodingPermute3D = PositionalEncodingPermute3D
+    pkg.torch_encodings = te
+    sys.modules["positional_encodings"] = pkg
+    sys.modules["positional_encodings.torch_encodings"] = te
+
+
+def load_reference_transunet(reference_root: str = REFERENCE,
+                             input_shape=(2, 32, 32, 32), num_classes: int = 8,
+                             num_channels_list=(8, 16, 32, 64),
+                             patch_size_factor: int = 8):
+    """Instantiate the reference torch TransUNet (trans_unet.py:10-101).
+    Imports resolve through synthetic `models`/`utils` packages over the
+    reference tree; BatchNorms are switched to batch statistics (the rebuild's
+    InstanceNorm equivalence at batch 1)."""
+    base = os.path.join(reference_root, "TransUnet")
+    _synthetic_package("models", os.path.join(base, "models"))
+    _synthetic_package("models.segmentation", os.path.join(base, "models", "segmentation"))
+    _synthetic_package("models.encoders", os.path.join(base, "models", "encoders"))
+    _synthetic_package("models.decoders", os.path.join(base, "models", "decoders"))
+    _synthetic_package("models.blocks", os.path.join(base, "models", "blocks"))
+    _synthetic_package("utils", os.path.join(base, "utils"))
+    _install_positional_encodings_shim()
+    import importlib
+
+    tu = importlib.import_module("models.segmentation.trans_unet")
+    model = tu.TransUNet(
+        input_shape=tuple(input_shape), num_classes=num_classes,
+        num_channels_list=list(num_channels_list),
+        patch_size_factor=patch_size_factor)
+    return _batch_stat_batchnorms(model).eval()
+
+
+def _transunet_doubleconv(sd, p):
+    """DoubleConvBlock (conv_blocks.py:214-265): two conv+BN+ReLU units."""
+    return {
+        "Conv_0": _conv(sd, p + ".conv_block_1.convolution"),
+        "InstanceNorm_0": _in_from_bn(sd, p + ".conv_block_1.normalization"),
+        "Conv_1": _conv(sd, p + ".conv_block_2.convolution"),
+        "InstanceNorm_1": _in_from_bn(sd, p + ".conv_block_2.normalization"),
+    }
+
+
+def transunet_params_from_torch(state_dict, num_channels_list=(8, 16, 32, 64)) -> dict:
+    """Reference TransUNet state_dict -> flax TransUNet params
+    (models/transunet.py). The packed nn.MultiheadAttention in_proj is split
+    into the q/k/v Dense kernels; attention-embedding norm/activation and the
+    post-gate normalization are Identity in the shipped config (no params)."""
+    sd = _numpy_sd(state_dict)
+    n = len(num_channels_list)
+    params = {"head": _conv(sd, "output_layer")}
+    for i in range(n):
+        params[f"enc{i}"] = _transunet_doubleconv(sd, f"encoder.conv_blocks.{i}")
+    E = sd["decoder.attention_blocks.0.vision_attention.multihead_attention_block.in_proj_weight"].shape[1]
+    for j in range(n - 1):
+        a = f"decoder.attention_blocks.{j}"
+        w = np.asarray(sd[a + ".vision_attention.multihead_attention_block.in_proj_weight"])
+        b = np.asarray(sd[a + ".vision_attention.multihead_attention_block.in_proj_bias"])
+        params[f"gate{j}"] = {
+            "embed_skip": _conv(sd, a + ".patch_embed_skip.convolution"),
+            "embed_dec": _conv(sd, a + ".patch_embed_decoder.convolution"),
+            "q": {"kernel": linear_kernel(w[:E]), "bias": b[:E]},
+            "k": {"kernel": linear_kernel(w[E:2 * E]), "bias": b[E:2 * E]},
+            "v": {"kernel": linear_kernel(w[2 * E:]), "bias": b[2 * E:]},
+            "out": _dense(sd, a + ".vision_attention.multihead_attention_block.out_proj"),
+            "upscale": {
+                "kernel": conv_transpose3d_kernel(sd[a + ".upscale_attention.transpose_conv.weight"]),
+                "bias": np.asarray(sd[a + ".upscale_attention.transpose_conv.bias"])},
+        }
+        params[f"up{j}"] = {
+            "kernel": conv_transpose3d_kernel(sd[f"decoder.upscaling_layers.{j}.transpose_conv.weight"]),
+            "bias": np.asarray(sd[f"decoder.upscaling_layers.{j}.transpose_conv.bias"])}
+        params[f"dec{j}"] = _transunet_doubleconv(sd, f"decoder.conv_blocks.{j}")
+    return params
+
+
 def swinunet3d_params_from_torch(state_dict, layers=(2, 2, 4, 2)) -> dict:
     """Reference SwinUnet3D state_dict -> flax SwinUnet3D params
     (models/swinunet3d.py). The x/y/z shifted-window mask buffers are

@@ -28,7 +28,7 @@ import flax.linen as nn
 
 from micformer_tpu.models.layers import InstanceNorm, to_channels_last, to_channels_first
 from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge_heads
-from micformer_tpu.ops.pe import sinusoidal_pe_3d
+from micformer_tpu.ops.pe import sinusoidal_pe_3d_interleaved
 from micformer_tpu import registry
 
 
@@ -63,8 +63,11 @@ class AttentionGate(nn.Module):
                          dtype=self.dtype, name="embed_dec")(dec)
 
         def with_pe(t):
+            # interleaved phase layout: the pip positional_encodings package
+            # the reference imports (attention_blocks.py:141-144)
             _, d, h, w, c = t.shape
-            return t + jnp.asarray(sinusoidal_pe_3d(d, h, w, c))[None].astype(t.dtype)
+            return t + jnp.asarray(
+                sinusoidal_pe_3d_interleaved(d, h, w, c))[None].astype(t.dtype)
 
         q_tok, kv_tok = with_pe(q_tok), with_pe(kv_tok)
         qd, qh, qw = q_tok.shape[1:4]
@@ -110,7 +113,8 @@ class TransUNet(nn.Module):
                                   dtype=self.dtype, name=f"gate{j}")(skip, x)
             x = nn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
                                  dtype=self.dtype, name=f"up{j}")(x)
-            x = jnp.concatenate([x, gated], axis=-1)
+            # skip first (conv_trans_decoder.py:118 torch.cat([skip, x]))
+            x = jnp.concatenate([gated, x], axis=-1)
             x = DoubleConv(c, dtype=self.dtype, name=f"dec{j}")(x)
 
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)

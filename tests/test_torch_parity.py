@@ -244,6 +244,35 @@ def test_swinunet3d_forward_parity():
     assert err < 5e-4, f"max abs err {err:.2e}"
 
 
+def test_transunet_forward_parity():
+    """Full-model transplant parity for TransUNet (trans_unet.py:10-101):
+    double-conv encoder, patchified attention gates (packed MHA in_proj split
+    into q/k/v, interleaved sinusoidal PE), transpose-conv decoder with
+    skip-first concat. Channels scaled down so every gate's patch size
+    (min(skip)//8) stays >= 1 at a CPU-sized 32^3 input."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_transunet, transunet_params_from_torch)
+
+    torch.manual_seed(6)
+    chs = (8, 16, 32, 64)
+    tmodel = load_reference_transunet(input_shape=(2, 32, 32, 32),
+                                      num_classes=8, num_channels_list=chs)
+    params = transunet_params_from_torch(tmodel.state_dict(), chs)
+    fmodel = registry.build("transunet", num_classes=8, num_channels_list=chs)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 2, 32, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 5e-4, f"max abs err {err:.2e}"
+
+
 def test_param_count_matches_torch(micformer_parity_run):
     """count_parameters parity: the flax tree holds exactly the torch
     parameter budget minus the reference's dead concat_back_dim[0] (built,
