@@ -273,6 +273,39 @@ def test_transunet_forward_parity():
     assert err < 5e-4, f"max abs err {err:.2e}"
 
 
+def test_micformer_train_loss_parity(micformer_parity_run):
+    """Cross-framework TRAIN-LOSS parity (VERDICT r2 item 1): the reference
+    harness loss path — torch MicFormer forward + MDiceLoss
+    (train_mmwhs_noPad.py:108,187; loss/dice.py:158-166) — must equal the
+    rebuild's path (flax forward + losses.dice.mdice_loss, the Trainer's
+    'mdice' loss) on an identical fixed batch with transplanted weights."""
+    import importlib.util
+
+    import torch
+    from micformer_tpu.losses.dice import mdice_loss
+
+    tmodel, fmodel, params, x, _, _ = micformer_parity_run
+    spec = importlib.util.spec_from_file_location(
+        "_ref_micformer_loss", os.path.join(REFERENCE, "MicFormer", "loss", "dice.py"))
+    loss_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(loss_mod)
+
+    # synthetic 8-class one-hot label on the same 64^3 grid
+    rng = np.random.default_rng(8)
+    lab = rng.integers(0, 8, size=(1, 64, 64, 64))
+    onehot = np.eye(8, dtype=np.float32)[lab].transpose(0, 4, 1, 2, 3)
+
+    with torch.no_grad():
+        seg_t = tmodel(torch.from_numpy(x))
+        loss_t = float(loss_mod.MDiceLoss()(seg_t, torch.from_numpy(onehot)))
+
+    logits_j = fmodel.apply({"params": params}, jnp.asarray(x))
+    loss_j = float(mdice_loss(logits_j, jnp.asarray(onehot)))
+    assert abs(loss_j - loss_t) < 1e-5, f"{loss_j} vs {loss_t}"
+    # sanity: a real loss value, not a degenerate constant
+    assert 0.05 < loss_t < 1.5
+
+
 def test_param_count_matches_torch(micformer_parity_run):
     """count_parameters parity: the flax tree holds exactly the torch
     parameter budget minus the reference's dead concat_back_dim[0] (built,
