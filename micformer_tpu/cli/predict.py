@@ -25,9 +25,33 @@ import queue
 import threading
 
 
-def _prefetch_cases(ds, indices, depth: int = 2):
-    """Yield ds[i] for i in indices, produced by a background thread so host
-    preprocessing (IO, resize, normalize) overlaps device inference."""
+def _prefetch_cases(ds, indices, depth: int = 2, workers: int = 0,
+                    worker_mode: str = "thread"):
+    """Yield ds[i] for i in indices, produced ahead of consumption so host
+    preprocessing (IO, resize, normalize) overlaps device inference.
+
+    workers<=1: one background thread. workers>1: a thread or fork-process
+    pool (`worker_mode`) keeps `depth` cases in flight — the process mode is
+    the reference's mp.Process preprocessing queue (predict.py:35-93
+    preprocess_multithreaded) without its GIL ceiling."""
+    indices = list(indices)
+    if workers > 1:
+        from micformer_tpu.data.loader import make_fetch_pool
+
+        pool, fetch_one = make_fetch_pool(ds, workers, worker_mode)
+        try:
+            depth = max(depth, workers)
+            inflight = [(i, fetch_one(i)) for i in indices[:depth]]
+            nxt = depth
+            while inflight:
+                i, fut = inflight.pop(0)
+                if nxt < len(indices):
+                    inflight.append((indices[nxt], fetch_one(indices[nxt])))
+                    nxt += 1
+                yield i, fut.result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+        return
     q: queue.Queue = queue.Queue(maxsize=depth)
 
     def produce():
@@ -107,6 +131,12 @@ def main(argv=None):
     p.add_argument("--save-seg-for-next-stage", action="store_true",
                    help="also write <pid>_segFromPrevStage.npy (model-grid "
                         "label map) to seed the cascade's next stage")
+    p.add_argument("--workers", type=int, default=0,
+                   help="case-prefetch workers (>1 enables the pool)")
+    p.add_argument("--worker-mode", default="thread",
+                   choices=["thread", "process"],
+                   help="process = forked preprocessing workers (reference "
+                        "predict.py:35-93 mp.Process queue equivalent)")
     p.add_argument("--native-geometry", action="store_true",
                    help="resize predictions back to each case's stored crop "
                         "geometry before export (generate_segmentations "
@@ -196,7 +226,8 @@ def main(argv=None):
     from micformer_tpu.parallel import shard_cases
 
     case_indices = shard_cases(range(len(ds)))
-    for i, s in _prefetch_cases(ds, case_indices):
+    for i, s in _prefetch_cases(ds, case_indices, workers=args.workers,
+                                worker_mode=args.worker_mode):
         img = np.asarray(s["image"], np.float32)
         if args.cascade_prev_seg_dir:
             from micformer_tpu.data.cascade import seg_to_onehot, resize_seg_nearest

@@ -75,8 +75,10 @@ def main(argv=None):
     train_loader = DataLoader(train_ds, batch_size=cfg.train.batch_size,
                               shuffle=True, seed=cfg.train.seed,
                               sharding=batch_sharding,
-                              workers=cfg.data.workers)
-    val_loader = DataLoader(val_ds, batch_size=1, workers=cfg.data.workers)
+                              workers=cfg.data.workers,
+                              worker_mode=cfg.data.worker_mode)
+    val_loader = DataLoader(val_ds, batch_size=1, workers=cfg.data.workers,
+                            worker_mode=cfg.data.worker_mode)
 
     import jax.numpy as jnp
 

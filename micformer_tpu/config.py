@@ -32,6 +32,7 @@ class DataConfig:
     fold: int = 0
     normalisation: str = "minmax"
     workers: int = 2
+    worker_mode: str = "thread"      # thread | process (forked preprocessing)
     single_modal: bool = False
 
 
@@ -149,6 +150,7 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
     p.add_argument("--cfg", default=None, help="yaml config file")
     p.add_argument("--resume", action="store_true", default=None)
     p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--worker-mode", default=None, choices=["thread", "process"])
     p.add_argument("--run-dir", default=None, help=f"default {d.train.run_dir}")
     p.add_argument("--target-shape", type=int, default=None,
                    help="cubic target shape override (e.g. 32 for smoke runs)")
@@ -209,6 +211,7 @@ _ARG_MAP = {
     "cache": ("data", "cache_dir"),
     "fold": ("data", "fold"),
     "workers": ("data", "workers"),
+    "worker_mode": ("data", "worker_mode"),
     "single_modal": ("data", "single_modal"),
     "model": ("model", "name"),
     "num_classes": ("model", "num_classes"),

@@ -10,12 +10,48 @@ on-device (micformer_tpu/data/transforms.py).
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import jax
 import numpy as np
+
+
+# --- process-worker plumbing (reference inference/predict.py:35-93 uses
+# mp.Process preprocessing queues; this is the pool equivalent). The dataset
+# is shipped ONCE per worker via the initializer, not per task. Workers are
+# forked and do numpy/IO only — they must never touch jax (the parent's
+# device client does not survive a fork into a second user).
+_WORKER_DS = None
+
+
+def _proc_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _proc_fetch(i):
+    return _WORKER_DS[int(i)]
+
+
+def make_fetch_pool(dataset, workers: int, mode: str = "thread"):
+    """Pool + fetch function for parallel dataset[i] fetches.
+
+    mode='thread': GIL-releasing numpy/IO concurrency (default).
+    mode='process': real OS processes (fork) — bypasses the GIL entirely for
+    pure-Python preprocessing (e.g. the pure-Python NIfTI parser when the
+    native reader is unavailable), the reference's mp.Process capability.
+    Returns (pool, fetch_one) where fetch_one(i) -> future-like .result().
+    """
+    if mode == "process":
+        ctx = multiprocessing.get_context("fork")
+        pool = ProcessPoolExecutor(workers, mp_context=ctx,
+                                   initializer=_proc_init, initargs=(dataset,))
+        return pool, lambda i: pool.submit(_proc_fetch, i)
+    pool = ThreadPoolExecutor(workers)
+    return pool, lambda i: pool.submit(dataset.__getitem__, int(i))
 
 
 def _stack_batch(samples, compact=True):
@@ -62,6 +98,7 @@ class DataLoader:
         device_put=True,
         compact=True,
         workers=0,
+        worker_mode="thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -71,13 +108,20 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.device_put = device_put
         self.compact = compact
-        # workers > 1: samples of a batch are fetched concurrently by a thread
-        # pool (dataset __getitem__ is numpy/IO heavy and releases the GIL —
-        # NIfTI decompression, native resize, npy reads). Batch ORDER is
-        # unchanged regardless of worker count: parallelism is within a batch,
-        # so runs stay deterministic (grain-style determinism, TODO.md infra).
+        # workers > 1: samples of a batch are fetched concurrently by a
+        # worker pool. worker_mode='thread' (default) relies on __getitem__
+        # releasing the GIL (NIfTI decompression, native resize, npy reads);
+        # 'process' forks real workers (reference mp.Process parity,
+        # inference/predict.py:35-93) — needed when preprocessing is
+        # GIL-bound pure Python. Batch ORDER is unchanged regardless of
+        # worker count: parallelism is within a batch, so runs stay
+        # deterministic (grain-style determinism, TODO.md infra).
         self.workers = int(workers)
-        self._pool = ThreadPoolExecutor(self.workers) if self.workers > 1 else None
+        self.worker_mode = worker_mode
+        self._pool = self._fetch_one = None
+        if self.workers > 1:
+            self._pool, self._fetch_one = make_fetch_pool(
+                dataset, self.workers, worker_mode)
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -105,8 +149,7 @@ class DataLoader:
 
     def _fetch(self, chunk):
         if self._pool is not None:
-            return list(self._pool.map(self.dataset.__getitem__,
-                                       [int(j) for j in chunk]))
+            return [f.result() for f in [self._fetch_one(j) for j in chunk]]
         return [self.dataset[int(j)] for j in chunk]
 
     def _produce(self, out_q: queue.Queue):

@@ -25,8 +25,11 @@ def initialize(coordinator_address: str | None = None,
     COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID (or the JAX-standard
     auto-detection on TPU pods, where no arguments are needed).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NB: must not touch jax.process_count()/jax.devices() here — any backend
+    # query initializes XLA, after which jax.distributed.initialize refuses
+    # to run ("must be called before any JAX calls").
+    if jax.distributed.is_initialized():
+        return
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if coordinator_address is None and num_processes is None:
         try:
