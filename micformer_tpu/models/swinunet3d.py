@@ -66,7 +66,12 @@ class GatedConvBlock(nn.Module):
 
 
 class SwinStage(nn.Module):
-    """Down- or up-scaling stage: resample -> gated conv path + swin pairs -> add."""
+    """Down- or up-scaling stage: resample -> gated conv path + swin pairs -> add.
+
+    pure=True is the SwinUnet3D_pure_Transformer.py sibling (:257-312): the
+    conv resamples become LINEAR patch merge (dsf³-neighborhood concat ->
+    Linear) / expand (Linear -> pixel shuffle), and the gated conv path is
+    dropped entirely — stages are attention-only."""
 
     features: int
     layers: int
@@ -75,13 +80,32 @@ class SwinStage(nn.Module):
     head_dim: int
     window_size: int
     up: bool = False
+    pure: bool = False
     faithful_scramble: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         f = (self.factor,) * 3
-        if self.up:
+        s = self.factor
+        if self.pure and self.up:
+            # Linear(C -> usf^3*out) + pixel shuffle, '(fac1 fac2 fac3 c)'
+            # split order (pure_Transformer.py:276-283)
+            B, D, H, W, _ = x.shape
+            h0 = nn.Dense(s ** 3 * self.features, dtype=self.dtype,
+                          name="expand")(x)
+            h0 = h0.reshape(B, D, H, W, s, s, s, self.features)
+            h0 = h0.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+            x = h0.reshape(B, D * s, H * s, W * s, self.features)
+        elif self.pure:
+            # dsf^3-neighborhood concat ('(dsf_h dsf_w dsf_d c)', c fastest)
+            # -> Linear (pure_Transformer.py:257-264)
+            B, D, H, W, C = x.shape
+            h0 = x.reshape(B, D // s, s, H // s, s, W // s, s, C)
+            h0 = h0.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            h0 = h0.reshape(B, D // s, H // s, W // s, s ** 3 * C)
+            x = nn.Dense(self.features, dtype=self.dtype, name="merge")(h0)
+        elif self.up:
             x = nn.ConvTranspose(self.features, f, strides=f, padding="VALID",
                                  dtype=self.dtype, name="expand")(x)
         else:
@@ -89,8 +113,10 @@ class SwinStage(nn.Module):
                         dtype=self.dtype, name="merge")(x)
         x = ChannelNorm(dtype=self.dtype)(x)
 
-        conv_path = GatedConvBlock(self.features, self.features,
-                                   dtype=self.dtype, name="conv_block")(x)
+        conv_path = None
+        if not self.pure:
+            conv_path = GatedConvBlock(self.features, self.features,
+                                       dtype=self.dtype, name="conv_block")(x)
         ws = (self.window_size,) * 3
         h = x
         for i in range(self.layers // 2):
@@ -103,7 +129,7 @@ class SwinStage(nn.Module):
                             swinunet_scramble=self.faithful_scramble,
                             dtype=self.dtype,
                             name=f"swin{i}_shift")(h, deterministic)
-        return h + conv_path
+        return h if conv_path is None else h + conv_path
 
 
 class SwinUnet3D(nn.Module):
@@ -121,6 +147,9 @@ class SwinUnet3D(nn.Module):
     # window's values. Default False (correct Swin behavior); True reproduces
     # the reference bit-for-bit (used by the transplant parity test).
     faithful_scramble: bool = False
+    # pure=True: the SwinUnet3D_pure_Transformer.py sibling — linear patch
+    # merge/expand, no gated conv paths, linear final expand.
+    pure: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,7 +159,7 @@ class SwinUnet3D(nn.Module):
         dsf = self.downscaling_factors
         common = dict(head_dim=self.head_dim, window_size=self.window_size,
                       faithful_scramble=self.faithful_scramble,
-                      dtype=self.dtype)
+                      pure=self.pure, dtype=self.dtype)
 
         d1 = SwinStage(hd, self.layers[0], dsf[0], self.heads[0],
                        name="down12", **common)(x, deterministic)
@@ -152,8 +181,17 @@ class SwinUnet3D(nn.Module):
         u12 = ChannelNorm(dtype=self.dtype, name="converge12")(u12 + d1)
 
         f = (dsf[0],) * 3
-        out = nn.ConvTranspose(self.stl_channels, f, strides=f, padding="VALID",
-                               dtype=self.dtype, name="final_expand")(u12)
+        if self.pure:
+            s = dsf[0]
+            B, D, H, W, _ = u12.shape
+            out = nn.Dense(s ** 3 * self.stl_channels, dtype=self.dtype,
+                           name="final_expand")(u12)
+            out = out.reshape(B, D, H, W, s, s, s, self.stl_channels)
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+            out = out.reshape(B, D * s, H * s, W * s, self.stl_channels)
+        else:
+            out = nn.ConvTranspose(self.stl_channels, f, strides=f, padding="VALID",
+                                   dtype=self.dtype, name="final_expand")(u12)
         out = ChannelNorm(dtype=self.dtype)(out)
         out = PReLU()(out)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(out)
@@ -162,4 +200,12 @@ class SwinUnet3D(nn.Module):
 
 @registry.register("swinunet3d", num_classes=8)
 def build_swinunet3d(**kw):
+    return SwinUnet3D(**kw)
+
+
+@registry.register("swinunet3d_pure", num_classes=8)
+def build_swinunet3d_pure(**kw):
+    """SwinUnet3D_pure_Transformer.py sibling (528 LoC variant): attention-
+    only stages with linear patch merge/expand."""
+    kw.setdefault("pure", True)
     return SwinUnet3D(**kw)

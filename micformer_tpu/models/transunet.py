@@ -93,6 +93,9 @@ class TransUNet(nn.Module):
     patch_size_factor: int = 8
     embed_size: int = 64
     num_heads: int = 8
+    # attention_gates=False is the repo's plain UNet (segmentation/unet.py:
+    # ConvEncoder + ConvDecoder, skips appended ungated)
+    attention_gates: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,15 +111,54 @@ class TransUNet(nn.Module):
 
         for j, c in enumerate(chs[-2::-1]):
             skip = skips[-1 - j]
-            patch = max(min(skip.shape[1:4]) // self.patch_size_factor, 1)
-            gated = AttentionGate(self.embed_size, self.num_heads, patch,
-                                  dtype=self.dtype, name=f"gate{j}")(skip, x)
+            if self.attention_gates:
+                patch = max(min(skip.shape[1:4]) // self.patch_size_factor, 1)
+                skip = AttentionGate(self.embed_size, self.num_heads, patch,
+                                     dtype=self.dtype, name=f"gate{j}")(skip, x)
             x = nn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
                                  dtype=self.dtype, name=f"up{j}")(x)
             # skip first (conv_trans_decoder.py:118 torch.cat([skip, x]))
-            x = jnp.concatenate([gated, x], axis=-1)
+            x = jnp.concatenate([skip, x], axis=-1)
             x = DoubleConv(c, dtype=self.dtype, name=f"dec{j}")(x)
 
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
+        return to_channels_first(out.astype(jnp.float32))
+
+
+class HalfUNet(nn.Module):
+    """HalfUNet (segmentation/halfunet.py + conv_halfUnet_decoder.py): the
+    same conv encoder with a minimal ADDITIVE decoder — transpose-conv
+    upscale, add skip, repeat; then a 1³ channel resize and `num_outputconv`
+    double-conv blocks at full resolution."""
+
+    num_classes: int = 8
+    num_channels_list: Sequence[int] = (16, 32, 64, 128, 190, 256)
+    channel_outputconv: int = 64
+    num_outputconv: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = to_channels_last(x)
+        chs = list(self.num_channels_list)
+        skips = []
+        for i, c in enumerate(chs):
+            x = DoubleConv(c, dtype=self.dtype, name=f"enc{i}")(x)
+            if i < len(chs) - 1:
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+        # decoder: up -> add-skip chain (conv_halfUnet_decoder.py:93-119)
+        for j, c in enumerate(chs[-2::-1]):
+            x = nn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                                 dtype=self.dtype, name=f"up{j}")(x)
+            x = x + skips[-1 - j]
+        x = nn.Conv(self.channel_outputconv, (1, 1, 1), dtype=self.dtype,
+                    name="resize")(x)
+        for k in range(self.num_outputconv):
+            cout = (self.channel_outputconv if k < self.num_outputconv - 1
+                    else chs[0])
+            x = DoubleConv(cout, dtype=self.dtype, name=f"outconv{k}")(x)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
         return to_channels_first(out.astype(jnp.float32))
 
@@ -124,3 +166,16 @@ class TransUNet(nn.Module):
 @registry.register("transunet", num_classes=8)
 def build_transunet(**kw):
     return TransUNet(**kw)
+
+
+@registry.register("unet_conv", num_classes=8)
+def build_unet_conv(**kw):
+    """Plain conv UNet from the TransUnet repo (segmentation/unet.py):
+    TransUNet minus the attention gates."""
+    kw.setdefault("attention_gates", False)
+    return TransUNet(**kw)
+
+
+@registry.register("halfunet", num_classes=8)
+def build_halfunet(**kw):
+    return HalfUNet(**kw)

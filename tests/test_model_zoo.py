@@ -31,6 +31,13 @@ ZOO = [
     ("transunet", dict(num_channels_list=(4, 8, 16, 32, 48, 64), embed_size=16),
      (1, 2, 32, 32, 32)),
     ("micformer", dict(embed_dim=24, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2)), (1, 2, 32, 32, 32)),
+    # round-3 variant additions (VERDICT r2 item 9)
+    ("swinunet3d_pure", dict(hidden_dim=24, head_dim=8, window_size=2),
+     (1, 2, 32, 32, 32)),
+    ("unet_conv", dict(num_channels_list=(4, 8, 16, 32, 48, 64)),
+     (1, 2, 32, 32, 32)),
+    ("halfunet", dict(num_channels_list=(4, 8, 16, 32, 48, 64)),
+     (1, 2, 32, 32, 32)),
 ]
 
 
