@@ -32,6 +32,9 @@ import jax.numpy as jnp
 # is the default: the 8-corner gathers were the profiled #1 cost of the
 # MicFormer forward (~29% — row-count-bound, not byte-bound).
 USE_BLOCK_GATHER = os.environ.get("MICFORMER_WARP_BLOCK_GATHER", "1") == "1"
+# A/B (round 3): per-axis sequential lerp instead of the materialized
+# [B,N,2,2,2] outer-product weight tensor.
+AXIS_REDUCE = os.environ.get("MICFORMER_WARP_AXIS_REDUCE", "0") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
@@ -94,12 +97,24 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
 
     blocks = jax.vmap(gather_one)(src, starts)  # [B, N, 2, 2, 2, C]
 
-    wz = jnp.stack([wz0, wz1], -1).astype(src.dtype)  # [B, N, 2]
-    wy = jnp.stack([wy0, wy1], -1).astype(src.dtype)
-    wx = jnp.stack([wx0, wx1], -1).astype(src.dtype)
-    w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
-         * wx[:, :, None, None, :])                    # [B, N, 2, 2, 2]
-    out = jnp.sum(blocks * w[..., None], axis=(2, 3, 4))  # [B, N, C]
+    if AXIS_REDUCE:
+        # per-axis sequential lerp: 3 shrinking contractions instead of one
+        # materialized [B,N,2,2,2] outer-product weight tensor (whose layout
+        # copy profiled as costly as the gather itself at stage 0)
+        wz0c, wz1c = wz0.astype(src.dtype), wz1.astype(src.dtype)
+        wy0c, wy1c = wy0.astype(src.dtype), wy1.astype(src.dtype)
+        wx0c, wx1c = wx0.astype(src.dtype), wx1.astype(src.dtype)
+        t = (blocks[:, :, 0] * wz0c[..., None, None, None]
+             + blocks[:, :, 1] * wz1c[..., None, None, None])  # [B,N,2,2,C]
+        t = t[:, :, 0] * wy0c[..., None, None] + t[:, :, 1] * wy1c[..., None, None]
+        out = t[:, :, 0] * wx0c[..., None] + t[:, :, 1] * wx1c[..., None]
+    else:
+        wz = jnp.stack([wz0, wz1], -1).astype(src.dtype)  # [B, N, 2]
+        wy = jnp.stack([wy0, wy1], -1).astype(src.dtype)
+        wx = jnp.stack([wx0, wx1], -1).astype(src.dtype)
+        w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+             * wx[:, :, None, None, :])                    # [B, N, 2, 2, 2]
+        out = jnp.sum(blocks * w[..., None], axis=(2, 3, 4))  # [B, N, C]
     return out.reshape((B,) + out_spatial + (C,))
 
 

@@ -114,6 +114,7 @@ def test_deep_supervision_matches_torch_multiple_output_loss2(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+@pytest.mark.slow  # builds a full nnFormer (~1 min CPU)
 def test_nnformer_ds_pyramid_highest_res_first():
     import jax
     import jax.numpy as jnp

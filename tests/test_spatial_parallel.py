@@ -5,6 +5,8 @@ parallelism for >HBM volumes, not overlap-blend tiling."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: pytest -m 'not slow' skips
+
 import jax
 import jax.numpy as jnp
 

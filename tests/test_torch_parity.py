@@ -23,10 +23,13 @@ import jax.numpy as jnp
 
 REFERENCE = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "MicFormer", "models")),
-    reason="reference repo not mounted",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "MicFormer", "models")),
+        reason="reference repo not mounted",
+    ),
+    pytest.mark.slow,  # parity tier: pytest -m 'not slow' skips
+]
 
 
 @pytest.fixture(scope="module")

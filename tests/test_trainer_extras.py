@@ -79,3 +79,32 @@ def test_pretrained_seeding_transfers_body_not_head(tmp_path):
     log = [json.loads(l) for l in open(tmp_path / "run" / "log.jsonl")]
     rep = next(l["pretrained"] for l in log if "pretrained" in l)
     assert rep["loaded"] > 0 and rep["skipped"] > 0
+
+
+import json
+
+
+def test_run_export(tmp_path):
+    from micformer_tpu.train.run_export import (
+        get_run_data, get_run_dataframe, export_runs_csv)
+
+    rd = tmp_path / "run1"
+    rd.mkdir()
+    with open(rd / "events.jsonl", "w") as f:
+        f.write(json.dumps({"tag": "val/meandice", "value": 0.5, "step": 1}) + "\n")
+        f.write(json.dumps({"tag": "val/meandice", "value": 0.7, "step": 2}) + "\n")
+    with open(rd / "log.jsonl", "w") as f:
+        f.write(json.dumps({"epoch": 1, "loss": 0.9, "note": "x"}) + "\n")
+
+    data = get_run_data(str(rd))
+    assert data["val/meandice"] == [(1, 0.5), (2, 0.7)]
+    assert data["loss"] == [(1, 0.9)]
+
+    df = get_run_dataframe(str(rd))
+    if df is not None:
+        assert "val/meandice" in df.columns and len(df) == 2
+
+    out = export_runs_csv([str(rd)], str(tmp_path / "all.csv"))
+    rows = open(out).read().splitlines()
+    assert rows[0] == "run,metric,step,value"
+    assert any(r.startswith("run1,val/meandice,2,0.7") for r in rows)
