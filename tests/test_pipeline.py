@@ -127,3 +127,51 @@ def test_region_based_evaluation(tmp_path):
     assert (tmp_path / "summary_surface_dc.csv").exists()
     # identical masks give NSD 1 everywhere they exist
     assert summary["surface_dc"]["two"]["mean"] == pytest.approx(1.0)
+
+
+def test_sanity_checks(tmp_path):
+    """verify_dataset_integrity parity (sanity_checks.py:25-235): clean
+    synthetic dataset passes; missing file / geometry mismatch / bad label
+    values / NaNs are each reported."""
+    import numpy as np
+
+    from micformer_tpu.data.synthetic import write_synthetic_dataset
+    from micformer_tpu.data.nifti import read_nifti, write_nifti
+    from micformer_tpu.pipeline.sanity_checks import (
+        verify_dataset_integrity, verify_contains_only_expected_labels)
+
+    root = str(tmp_path / "ok")
+    write_synthetic_dataset(root, n_cases=3, shape=(12, 12, 12), seed=3)
+    rep = verify_dataset_integrity(root)
+    assert rep["errors"] == [] and len(rep["cases"]) == 3
+
+    # break things one at a time
+    bad = str(tmp_path / "bad")
+    write_synthetic_dataset(bad, n_cases=2, shape=(12, 12, 12), seed=4)
+    import os, glob
+    pid = sorted(glob.glob(os.path.join(bad, "ct_*_image.nii.gz")))[0]
+    pid = os.path.basename(pid)[3:-len("_image.nii.gz")]
+    # 1. geometry mismatch: rewrite the ct label with a different affine
+    lab = np.asarray(read_nifti(os.path.join(bad, f"ct_{pid}_label.nii.gz")))
+    aff = np.diag([2.0, 1.0, 1.0, 1.0])
+    write_nifti(os.path.join(bad, f"ct_{pid}_label.nii.gz"), lab, affine=aff)
+    # 2. NaN in an mr image
+    img = np.asarray(read_nifti(os.path.join(bad, f"mr_{pid}_image.nii.gz"))).astype(np.float32)
+    img[0, 0, 0] = np.nan
+    write_nifti(os.path.join(bad, f"mr_{pid}_image.nii.gz"), img)
+    # 3. drop a file of the second case
+    pid2 = sorted({os.path.basename(p)[3:-len("_image.nii.gz")]
+                   for p in glob.glob(os.path.join(bad, "ct_*_image.nii.gz"))})[1]
+    os.remove(os.path.join(bad, f"mr_{pid2}_label.nii.gz"))
+
+    rep = verify_dataset_integrity(bad)
+    msgs = " | ".join(rep["errors"])
+    assert "geometry mismatch" in msgs
+    assert "NaN values" in msgs
+    assert f"case {pid2}: missing" in msgs
+    with pytest.raises(AssertionError):
+        verify_dataset_integrity(bad, strict=True)
+
+    ok, unexpected = verify_contains_only_expected_labels(
+        np.array([0, 1, 9]), {0, 1, 2})
+    assert not ok and unexpected == [9.0]
