@@ -162,20 +162,19 @@ def _composed_head_kernel(k1, k2):
     The fused form skips the full-resolution O-channel intermediate — the
     profiled ~12% tail of the forward (layout copies + a second 128^3 pass).
     """
-    p = k1.shape[0]
+    p, i_ch = k1.shape[0], k1.shape[3]
+    # Kc[a] = sum_j k1[a-j] @ k2[j] is itself a convolution: correlate the
+    # padded k1 (I as batch, O as channels) with the spatially FLIPPED k2 in
+    # ONE lax.conv — the 27-term einsum loop this replaces emitted dozens of
+    # small serialized ops per forward call (profiled round 3).
     k1p = jnp.pad(k1.astype(jnp.float32),
                   ((2, 2), (2, 2), (2, 2), (0, 0), (0, 0)))
-    kc = None
-    for jz in range(3):
-        for jy in range(3):
-            for jx in range(3):
-                sl = k1p[2 - jz:2 - jz + p + 2,
-                         2 - jy:2 - jy + p + 2,
-                         2 - jx:2 - jx + p + 2]
-                term = jnp.einsum("dhwio,oc->dhwic", sl,
-                                  k2[jz, jy, jx].astype(jnp.float32))
-                kc = term if kc is None else kc + term
-    return kc
+    lhs = jnp.moveaxis(k1p, 3, 0)                       # [I, p+4, p+4, p+4, O]
+    rhs = k2[::-1, ::-1, ::-1].astype(jnp.float32)      # flip -> conv == corr
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # [I, p+2, p+2, p+2, C]
+    return jnp.moveaxis(out, 0, 3)
 
 
 def _composed_head_bias_field(b1, k2, out_spatial):
