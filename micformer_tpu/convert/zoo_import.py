@@ -666,6 +666,39 @@ def transunet_params_from_torch(state_dict, num_channels_list=(8, 16, 32, 64)) -
     return params
 
 
+def load_reference_vtunet_module(reference_root: str = REFERENCE):
+    """Import the reference vt_unet.py module (mmcv's load_checkpoint — the
+    only mmcv symbol it touches — is shimmed; the package isn't installed)."""
+    _extend_timm_shim()
+    if "mmcv" not in sys.modules:
+        mmcv = types.ModuleType("mmcv")
+        runner = types.ModuleType("mmcv.runner")
+        runner.load_checkpoint = lambda *a, **k: None
+        mmcv.runner = runner
+        sys.modules["mmcv"] = mmcv
+        sys.modules["mmcv.runner"] = runner
+    base = os.path.join(reference_root, "VT-Unet", "vtunet")
+    return _load_module("_ref_vtunet", os.path.join(base, "vt_unet.py"))
+
+
+def vtunet_block_params_from_torch(block) -> dict:
+    """Reference SwinTransformerBlock3D (vt_unet.py:272-409) state ->
+    flax VTBlock params (models/vtunet.py). VT-Unet uses the STANDARD 3D Swin
+    relative-position index (vt_unet.py:165-167) — no remap needed."""
+    sd = _numpy_sd(block.state_dict())
+    return {
+        "norm1": _ln(sd, "norm1"),
+        "attn": {
+            "qkv": _dense(sd, "attn.qkv"),
+            "proj": _dense(sd, "attn.proj"),
+            "rel_pos_bias_table": np.asarray(sd["attn.relative_position_bias_table"]),
+        },
+        "norm2": _ln(sd, "norm2"),
+        "mlp": {"Dense_0": _dense(sd, "mlp.fc1"),
+                "Dense_1": _dense(sd, "mlp.fc2")},
+    }
+
+
 def swinunet3d_params_from_torch(state_dict, layers=(2, 2, 4, 2)) -> dict:
     """Reference SwinUnet3D state_dict -> flax SwinUnet3D params
     (models/swinunet3d.py). The x/y/z shifted-window mask buffers are

@@ -92,8 +92,14 @@ class VTWindowAttention(nn.Module):
         out = proj(merge_heads(multi_head_attention(q, k, v, bias=bias, mask=m)))
         out2 = None
         if is_decoder:
-            out2 = proj(merge_heads(
-                multi_head_attention(q, prev_k, prev_v, bias=bias, mask=m)))
+            # reference quirk kept faithfully: the decoder re-applies
+            # `q = q * self.scale` on the ALREADY-scaled q before the cross
+            # logits (vt_unet.py:213-214), so cross-attention runs at scale
+            # head_dim^-1 instead of head_dim^-0.5 — the weights were trained
+            # with it (caught by the block transplant parity test).
+            d = q.shape[-1]
+            out2 = proj(merge_heads(multi_head_attention(
+                q, prev_k, prev_v, bias=bias, mask=m, scale=float(d) ** -1.0)))
         return out, out2, v, k, q
 
 

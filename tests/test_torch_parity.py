@@ -309,6 +309,67 @@ def test_micformer_train_loss_parity(micformer_parity_run):
     assert 0.05 < loss_t < 1.5
 
 
+def test_vtunet_block_parity_encoder_and_decoder():
+    """VT-Unet block-level transplant parity (vt_unet.py:272-409
+    SwinTransformerBlock3D): regular, shifted, and the decoder alpha-fusion
+    form (cross-attention against saved prev_k/prev_v + FPE MLP term) — the
+    blocks and cross-KV mechanics around the documented true-3D merge
+    deviation (models/vtunet.py docstring)."""
+    import torch
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_vtunet_module, vtunet_block_params_from_torch)
+    from micformer_tpu.models.vtunet import VTBlock
+
+    mod = load_reference_vtunet_module()
+    torch.manual_seed(7)
+    dim, heads, ws = 48, 3, (2, 2, 2)
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(1, 8, 8, 8, dim)).astype(np.float32)  # channels-last
+
+    def run_torch(block, shift, prev=None, is_decoder=False):
+        mask = None
+        if shift:
+            mask = mod.compute_mask(8, 8, 8, ws, tuple(w // 2 for w in ws),
+                                    torch.device("cpu"))
+        with torch.no_grad():
+            pv, pk = (prev if prev else (None, None))
+            return block(torch.from_numpy(x), mask, pv, pk, None,
+                         is_decoder=is_decoder)
+
+    # encoder: regular + shifted
+    for shift in (False, True):
+        blk = mod.SwinTransformerBlock3D(
+            dim, heads, window_size=ws,
+            shift_size=tuple(w // 2 for w in ws) if shift else (0, 0, 0)).eval()
+        with torch.no_grad():
+            blk.attn.relative_position_bias_table.mul_(20.0)  # load-bearing rpe
+        ref, v_t, k_t, _ = run_torch(blk, shift)
+        params = vtunet_block_params_from_torch(blk)
+        fblk = VTBlock(dim, heads, ws, shift=shift)
+        got, v_j, k_j, _ = fblk.apply({"params": params}, jnp.asarray(x))
+        err = np.abs(np.asarray(got) - ref.numpy()).max()
+        assert err < 1e-4, f"shift={shift}: max abs err {err:.2e}"
+
+    # decoder alpha-fusion: prev_k/prev_v produced by each framework's own
+    # encoder block (numerically equal given the transplant above)
+    enc_t = mod.SwinTransformerBlock3D(dim, heads, window_size=ws,
+                                       shift_size=(0, 0, 0)).eval()
+    _, pv_t, pk_t, _ = run_torch(enc_t, False)
+    dec_t = mod.SwinTransformerBlock3D(dim, heads, window_size=ws,
+                                       shift_size=(0, 0, 0)).eval()
+    ref, _, _, _ = run_torch(dec_t, False, prev=(pv_t, pk_t), is_decoder=True)
+
+    enc_p = vtunet_block_params_from_torch(enc_t)
+    fenc = VTBlock(dim, heads, ws, shift=False)
+    _, pv_j, pk_j, _ = fenc.apply({"params": enc_p}, jnp.asarray(x))
+    dec_p = vtunet_block_params_from_torch(dec_t)
+    fdec = VTBlock(dim, heads, ws, shift=False)
+    got, _, _, _ = fdec.apply({"params": dec_p}, jnp.asarray(x),
+                              prev_v=pv_j, prev_k=pk_j, is_decoder=True)
+    err = np.abs(np.asarray(got) - ref.numpy()).max()
+    assert err < 1e-4, f"decoder fusion: max abs err {err:.2e}"
+
+
 def test_param_count_matches_torch(micformer_parity_run):
     """count_parameters parity: the flax tree holds exactly the torch
     parameter budget minus the reference's dead concat_back_dim[0] (built,
