@@ -35,6 +35,9 @@ USE_BLOCK_GATHER = os.environ.get("MICFORMER_WARP_BLOCK_GATHER", "1") == "1"
 # A/B (round 3): per-axis sequential lerp instead of the materialized
 # [B,N,2,2,2] outer-product weight tensor.
 AXIS_REDUCE = os.environ.get("MICFORMER_WARP_AXIS_REDUCE", "0") == "1"
+# A/B (round 3): fold batch into the gather rows (one un-batched gather over
+# a [B*D,H,W,C] view) instead of a vmap'd batched gather.
+FLAT_BATCH = os.environ.get("MICFORMER_WARP_FLAT_BATCH", "0") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
@@ -89,13 +92,27 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
         start_index_map=(0, 1, 2),
     )
 
-    def gather_one(vol, idx):
-        return jax.lax.gather(
-            vol, idx, dnums, slice_sizes=(2, 2, 2, C),
+    if FLAT_BATCH:
+        # fold B into the z start indices over a [B*D, H, W, C] view: ONE
+        # un-batched gather (no vmap batching dims — the batched form made
+        # XLA relayout the 12.6 MB source per cross block, profiled round 3).
+        # Slices never cross batch boundaries: z starts are clipped to D-2.
+        flat = src.reshape(B * D, H, W, C)
+        zoff = (jnp.arange(B, dtype=jnp.int32) * D)[:, None, None]  # [B,1,1]
+        fstarts = jnp.concatenate(
+            [starts[..., :1] + zoff, starts[..., 1:]], axis=-1).reshape(B * N, 3)
+        blocks = jax.lax.gather(
+            flat, fstarts, dnums, slice_sizes=(2, 2, 2, C),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )  # [N, 2, 2, 2, C]
+        ).reshape(B, N, 2, 2, 2, C)
+    else:
+        def gather_one(vol, idx):
+            return jax.lax.gather(
+                vol, idx, dnums, slice_sizes=(2, 2, 2, C),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # [N, 2, 2, 2, C]
 
-    blocks = jax.vmap(gather_one)(src, starts)  # [B, N, 2, 2, 2, C]
+        blocks = jax.vmap(gather_one)(src, starts)  # [B, N, 2, 2, 2, C]
 
     if AXIS_REDUCE:
         # per-axis sequential lerp: 3 shrinking contractions instead of one
