@@ -31,6 +31,7 @@ is one 8-corner gather (ops/warp.py).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -52,8 +53,16 @@ from micformer_tpu.models.layers import (
     to_channels_first,
 )
 from micformer_tpu.ops.windows import window_partition, window_reverse, adjust_window_shift
-from micformer_tpu.ops.warp import stn_warp, reference_points
+from micformer_tpu.ops.warp import (
+    stn_warp, stn_absolute_coords, trilinear_sample, reference_points,
+)
 from micformer_tpu import registry
+
+# A/B (round 3): sample the warped KV stream directly in WINDOW-TOKEN order —
+# the tiny [B,3,D,H,W] coordinate tensor is permuted instead of the big
+# warped feature map (whose voxel-order materialization + window_partition
+# transpose profiled alongside the gather itself).
+WARP_WINDOW_ORDER = os.environ.get("MICFORMER_WARP_WINDOW_ORDER", "0") == "1"
 
 
 class CrossBlock3D(nn.Module):
@@ -96,10 +105,22 @@ class CrossBlock3D(nn.Module):
         pos = jnp.moveaxis(off, -1, 1).astype(jnp.float32) + ref  # [B,3,D,H,W]
         # coords stay f32; values ride in the model dtype (bf16 halves the
         # 8-corner gather traffic — the profiled stage-0 hot spot)
-        xa_warp = stn_warp(xap, pos)
-
         x_wins = window_partition(xn, ws)
-        xa_wins = window_partition(xa_warp, ws)
+        if WARP_WINDOW_ORDER:
+            # permute the COORDS into window-major token order, then gather:
+            # the gather output IS the KV window tensor — no voxel-order
+            # warped map, no second window_partition transpose.
+            wd, wh, ww = ws
+            coords = stn_absolute_coords(pos, (Dp, Hp, Wp))  # [B,3,Dp,Hp,Wp]
+            cw = coords.reshape(B, 3, Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
+            cw = cw.transpose(0, 1, 2, 4, 6, 3, 5, 7)
+            n_win = (Dp // wd) * (Hp // wh) * (Wp // ww)
+            cw = cw.reshape(B, 3, n_win, wd * wh * ww, 1)
+            xa_wins = trilinear_sample(xap, cw)          # [B, nW, T, 1, C]
+            xa_wins = xa_wins.reshape(B * n_win, wd * wh * ww, C)
+        else:
+            xa_warp = stn_warp(xap, pos)
+            xa_wins = window_partition(xa_warp, ws)
         attn = WindowAttention3D(self.dim, ws, self.num_heads, self.qkv_bias,
                                  cross=True, dtype=self.dtype, name="cross_attn")(
             x_wins, context=xa_wins)

@@ -233,19 +233,14 @@ def _grid_sample_coords(norm_coords: jnp.ndarray, sizes) -> jnp.ndarray:
     return jnp.stack(out, axis=1)
 
 
-def stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """VoxelMorph-style warp with reference STN semantics (STN.py:9-32).
+def stn_absolute_coords(flow: jnp.ndarray, sizes) -> jnp.ndarray:
+    """Reference-STN flow -> absolute voxel sampling coordinates [B,3,D,H,W].
 
-    Args:
-      src: [B, D, H, W, C] channels-last.
-      flow: [B, 3, D, H, W] voxel-unit displacement, channel i displaces axis i.
-
-    Equivalent chain: locs = grid + flow; norm = 2*(locs/(S-1) - 0.5);
-    grid_sample(align_corners=False, zeros). Composed here into a single
-    absolute-voxel-coordinate sample: voxel = ((grid+flow)/(S-1))*S - 0.5.
-    """
-    B, D, H, W, C = src.shape
-    sizes = (D, H, W)
+    Equivalent chain (STN.py:9-32): locs = grid + flow; norm =
+    2*(locs/(S-1) - 0.5); grid_sample(align_corners=False) — composed into
+    voxel = ((grid+flow)/(S-1))*S - 0.5. Size-1 axes sample the only plane
+    (the reference divides by zero there)."""
+    D, H, W = sizes
     grids = jnp.meshgrid(
         jnp.arange(D, dtype=flow.dtype),
         jnp.arange(H, dtype=flow.dtype),
@@ -254,9 +249,7 @@ def stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     )
     grid = jnp.stack(grids)[None]  # [1, 3, D, H, W]
     locs = grid + flow
-    # size-1 axes: the reference formula divides by (S-1)=0 (NaN in torch too);
-    # sample the only plane instead — identity on that axis.
-    coords = jnp.stack(
+    return jnp.stack(
         [
             locs[:, i] / (sizes[i] - 1) * sizes[i] - 0.5
             if sizes[i] > 1
@@ -265,6 +258,17 @@ def stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=1,
     )
+
+
+def stn_warp(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """VoxelMorph-style warp with reference STN semantics (STN.py:9-32).
+
+    Args:
+      src: [B, D, H, W, C] channels-last.
+      flow: [B, 3, D, H, W] voxel-unit displacement, channel i displaces axis i.
+    """
+    B, D, H, W, C = src.shape
+    coords = stn_absolute_coords(flow, (D, H, W))
     return trilinear_sample(src, coords)
 
 
