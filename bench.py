@@ -42,13 +42,17 @@ def main():
                           "micformer" if "micformer" in avail else "unet3d")
     dtype_name = os.environ.get("MICFORMER_BENCH_DTYPE", "bfloat16")
     sw_batch = int(os.environ.get("MICFORMER_BENCH_SWBATCH", "4"))
+    # volumes per jit call: >1 amortizes the relay's ~30-50 ms per-call
+    # dispatch overhead across volumes (same roi/overlap/blending protocol
+    # per volume; throughput mode, like sw_batch)
+    vol_batch = int(os.environ.get("MICFORMER_BENCH_VOLBATCH", "1"))
     kw = dict(num_classes=8)
     if dtype_name == "bfloat16":
         kw["dtype"] = jnp.bfloat16
     model = registry.build(name, **kw)
 
     roi = (128, 128, 128)
-    vol_shape = (1, 2, 160, 160, 160)
+    vol_shape = (vol_batch, 2, 160, 160, 160)
     x0 = jnp.zeros((1, 2) + roi, jnp.float32)
     # jit the init: eager init dispatches thousands of individual ops (deadly
     # through a remote-compile TPU tunnel); one compiled executable instead.
@@ -91,9 +95,10 @@ def main():
         out.block_until_ready()
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
-    vps = 1.0 / lat.mean()
+    vps = vol_batch / lat.mean()
     PEAK_BF16 = 197e12  # TPU v5e
     if flops_per_volume:
+        flops_per_volume /= vol_batch  # cost model is per call
         mfu = flops_per_volume * vps / PEAK_BF16
 
     # PyTorch/A100 denominator: engineering estimate, BASELINE.md
@@ -117,6 +122,7 @@ def main():
         "model": name,
         "dtype": dtype_name,
         "sw_batch_size": sw_batch,
+        "vol_batch": vol_batch,
         "volume": list(vol_shape),
         "roi": list(roi),
         "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
