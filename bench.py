@@ -75,13 +75,18 @@ def main():
     # f32 runs through the bf16 MXU with 1/~3 throughput — report against the
     # bf16 peak either way so MFU is conservative.
     flops_per_volume = mfu = None
-    try:
-        compiled = infer.lower(vol).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_volume = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    if vol_batch == 1:
+        # only trustworthy at vol_batch 1: the cost model's flop total does
+        # not scale consistently with lax.scan trip counts when the tile loop
+        # is lengthened by batching volumes (measured: VB4 reported 525 total
+        # instead of 2100 — same as VB1)
+        try:
+            compiled = infer.lower(vol).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops_per_volume = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
 
     # warmup / compile
     out = infer(vol)
@@ -110,7 +115,6 @@ def main():
     vps = vol_batch / min(pipelined, lat.mean())
     PEAK_BF16 = 197e12  # TPU v5e
     if flops_per_volume:
-        flops_per_volume /= vol_batch  # cost model is per call
         mfu = flops_per_volume * vps / PEAK_BF16
 
     # PyTorch/A100 denominator: engineering estimate, BASELINE.md
