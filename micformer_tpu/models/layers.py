@@ -33,6 +33,13 @@ from micformer_tpu.ops.windows import (
 )
 from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge_heads
 
+# A/B (round 3): Conv3x3ViaDot pre-projection — one [C, 27F] matmul + 27
+# shifted slice-adds instead of 27 shifted full-input dots (input read once
+# instead of 27x). Exact math, same param tree.
+import os as _os
+
+PREPROJECT = _os.environ.get("MICFORMER_CONV3_PREPROJECT", "0") == "1"
+
 
 def pad_to_multiple(x: jnp.ndarray, multiple) -> jnp.ndarray:
     """Zero-pad spatial dims of [B, D, H, W, C] up to multiples (static)."""
@@ -400,18 +407,40 @@ class Conv3x3ViaDot(nn.Module):
         B, D, H, W, C = x.shape
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (27, C, self.features))
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-        out = None
-        i = 0
-        for dz in range(3):
-            for dy in range(3):
-                for dx in range(3):
-                    patch = xp[:, dz:dz + D, dy:dy + H, dx:dx + W, :]
-                    term = jnp.einsum("bdhwc,cf->bdhwf",
-                                      patch.astype(self.dtype),
-                                      w[i].astype(self.dtype))
-                    out = term if out is None else out + term
-                    i += 1
+        if PREPROJECT:
+            # exact reformulation: project ONCE with the [C, 27·F] flattened
+            # kernel, then sum the 27 tap slices at their spatial shifts. The
+            # input is read once instead of 27 times (the shifted-dot form
+            # rereads the full [B,D,H,W,C] operand per tap — ~680 MB per
+            # stage-0 offset conv); the taps ride on the F-wide projection.
+            y = jnp.einsum("bdhwc,cf->bdhwf", x.astype(self.dtype),
+                           w.transpose(1, 0, 2).reshape(C, 27 * self.features)
+                           .astype(self.dtype))
+            yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+            out = None
+            i = 0
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        # output[p] = sum_taps w_tap @ x[p + tap - 1]: tap i of
+                        # the projection, shifted so slot (1,1,1) is centered
+                        term = yp[:, dz:dz + D, dy:dy + H, dx:dx + W,
+                                  i * self.features:(i + 1) * self.features]
+                        out = term if out is None else out + term
+                        i += 1
+        else:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+            out = None
+            i = 0
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        patch = xp[:, dz:dz + D, dy:dy + H, dx:dx + W, :]
+                        term = jnp.einsum("bdhwc,cf->bdhwf",
+                                          patch.astype(self.dtype),
+                                          w[i].astype(self.dtype))
+                        out = term if out is None else out + term
+                        i += 1
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,)).astype(self.dtype)

@@ -38,6 +38,13 @@ HEAD_LOOP_MAX = int(_os.environ.get("MICFORMER_ATTN_HEADLOOP_MAX", "4"))
 # VPU-only fused QK/softmax/PV for T<=8 windows — q/k/v read once, out
 # written once, no relayouts or logit round-trips. A/B-gated.
 USE_V2 = _os.environ.get("MICFORMER_ATTENTION_V2", "0") == "1"
+# A/B (round 3): lane-major tiny-window attention — transpose q/k/v so the
+# HUGE window axis N rides the 128-lane dimension and the tiny T=8 / d=16
+# axes become sublane/unrolled math. The profiled stage-0 attention cost is
+# hundreds of minor-dim-8/16 ops ([16384,8,3,16] copies, [16384,8,8] logit
+# fusions) running at 8-16/128 lane efficiency; in [T,d,N] layout every
+# multiply-add is full-lane VPU work and softmax reduces over a major axis.
+LANE_MAJOR = _os.environ.get("MICFORMER_ATTN_LANE_MAJOR", "0") == "1"
 
 
 def multi_head_attention(
@@ -95,6 +102,9 @@ def multi_head_attention(
     acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     qf = q.astype(acc_t) * jnp.asarray(scale, acc_t)
     kf = k.astype(acc_t)
+    if LANE_MAJOR and bias is None and mask is None and Tq <= 16 \
+            and k.shape[1] <= 16 and N >= 1024:
+        return _lane_major_attention(qf, kf, v, acc_t).astype(q.dtype)
     if h <= HEAD_LOOP_MAX and bias is None and mask is None and Tq <= 16:
         return _head_loop_attention(qf, kf, v, acc_t).astype(q.dtype)
     attn = jnp.einsum("nqhd,nkhd->nhqk", qf, kf,
@@ -145,6 +155,34 @@ def _head_loop_attention(qf, kf, v, acc_t):
         o = jnp.einsum("nqk,nkd->nqd", p, vh) / denom.astype(v.dtype)
         outs.append(o)
     return jnp.stack(outs, axis=2)  # [N, T, h, d]
+
+
+def _lane_major_attention(qf, kf, v, acc_t):
+    """Attention with the window axis N on the minor (lane) dimension.
+
+    qf/kf: [N, T, h, d] (q pre-scaled); v: [N, Tk, h, d]. Transposes each
+    operand to [T, h, d, N] (a single relayout of a few MB — far cheaper than
+    the per-op minor-dim-8 penalty it removes), then per head computes
+      logits[q, k, :] = sum_d q[q, d, :] * k[k, d, :]      (d = sublane reduce)
+      out[q, d, :]    = sum_k p[q, k, :] * v[k, d, :]      (k = major reduce)
+    as full-lane VPU fusions. Same max-sub/post-PV-normalized softmax math as
+    the batched path (exact f32 parity when inputs are f32)."""
+    N, Tq, h, d = qf.shape
+    Tk = kf.shape[1]
+    q_t = jnp.moveaxis(qf, 0, -1)            # [Tq, h, d, N]
+    k_t = jnp.moveaxis(kf, 0, -1)            # [Tk, h, d, N]
+    v_t = jnp.moveaxis(v, 0, -1)             # [Tk, h, d, N]
+    outs = []
+    for i in range(h):
+        qh, kh, vh = q_t[:, i], k_t[:, i], v_t[:, i]        # [T, d, N]
+        a = jnp.sum(qh[:, None] * kh[None], axis=2)          # [Tq, Tk, N]
+        m = jax.lax.stop_gradient(jnp.max(a, axis=1, keepdims=True))
+        p = jnp.exp(a - m).astype(v.dtype)                   # [Tq, Tk, N]
+        denom = jnp.sum(p.astype(jnp.float32), axis=1)       # [Tq, N]
+        o = jnp.sum(p[:, :, None] * vh[None], axis=1)        # [Tq, d, N]
+        outs.append(o / denom[:, None].astype(v.dtype))
+    out = jnp.stack(outs, axis=1)                            # [Tq, h, d, N]
+    return jnp.moveaxis(out, -1, 0)                          # [N, Tq, h, d]
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:

@@ -38,6 +38,13 @@ AXIS_REDUCE = os.environ.get("MICFORMER_WARP_AXIS_REDUCE", "0") == "1"
 # A/B (round 3): fold batch into the gather rows (one un-batched gather over
 # a [B*D,H,W,C] view) instead of a vmap'd batched gather.
 FLAT_BATCH = os.environ.get("MICFORMER_WARP_FLAT_BATCH", "0") == "1"
+# A/B (round 3): contract the gathered blocks against the 8 corner weights as
+# one unrolled multiply-add chain instead of materializing the [B,N,2,2,2]
+# outer-product weight tensor. The materialized tensor's minor dims of 2 force
+# a pathological relayout copy before the gather/contraction (profiled ~2.5 ms
+# PER cross block at stage 0 — as costly as the gather itself); the unrolled
+# form reads the blocks once in a single fusion and the weights stay [B,N].
+UNROLLED_LERP = os.environ.get("MICFORMER_WARP_UNROLLED_LERP", "0") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
@@ -114,7 +121,16 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
 
         blocks = jax.vmap(gather_one)(src, starts)  # [B, N, 2, 2, 2, C]
 
-    if AXIS_REDUCE:
+    if UNROLLED_LERP:
+        ws = {0: (wz0, wy0, wx0), 1: (wz1, wy1, wx1)}
+        out = None
+        for kz in (0, 1):
+            for ky in (0, 1):
+                for kx in (0, 1):
+                    w8 = (ws[kz][0] * ws[ky][1] * ws[kx][2]).astype(src.dtype)
+                    term = blocks[:, :, kz, ky, kx, :] * w8[..., None]
+                    out = term if out is None else out + term  # [B, N, C]
+    elif AXIS_REDUCE:
         # per-axis sequential lerp: 3 shrinking contractions instead of one
         # materialized [B,N,2,2,2] outer-product weight tensor (whose layout
         # copy profiled as costly as the gather itself at stage 0)

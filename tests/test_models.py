@@ -79,3 +79,22 @@ def test_micformer_fused_head_matches_two_op_path(rng):
     b = plain.apply(variables, x)
     assert a.shape == b.shape == (1, 3, 16, 16, 16)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_conv3x3viadot_preproject_matches_shifted_dot(rng):
+    """The PREPROJECT reformulation (one [C,27F] projection + 27 shifted
+    slice-adds) must equal the 27-shifted-dot path exactly — same params."""
+    from micformer_tpu.models import layers
+
+    m = layers.Conv3x3ViaDot(16)
+    x = jnp.asarray(rng.normal(size=(2, 6, 5, 7, 24)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    prev = layers.PREPROJECT
+    try:
+        layers.PREPROJECT = False
+        a = m.apply(v, x)
+        layers.PREPROJECT = True
+        b = m.apply(v, x)
+    finally:
+        layers.PREPROJECT = prev
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

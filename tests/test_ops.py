@@ -4,6 +4,7 @@ warp parity vs torch grid_sample (the reference's STN backend)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from micformer_tpu.ops import windows as W
@@ -190,3 +191,38 @@ def test_trilinear_block_gather_matches_corner_path(rng):
     finally:
         warp_ops.USE_BLOCK_GATHER = orig
     np.testing.assert_allclose(np.asarray(block), np.asarray(corner), atol=1e-5)
+
+
+def test_lane_major_attention_matches_batched(rng):
+    """The lane-major path ([T,h,d,N] layout, window axis on the lane dim)
+    must equal the batched einsum path — forward and grad."""
+    from micformer_tpu.ops import attention as attention_mod
+
+    N, T, h, d = 1024, 8, 3, 16
+    q = jnp.asarray(rng.normal(size=(N, T, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(N, T, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, T, h, d)).astype(np.float32))
+
+    def run(lane_major):
+        prev = attention_mod.LANE_MAJOR
+        attention_mod.LANE_MAJOR = lane_major
+        try:
+            return multi_head_attention(q, k, v)
+        finally:
+            attention_mod.LANE_MAJOR = prev
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               atol=2e-5)
+
+    def loss(lane_major, q, k, v):
+        prev = attention_mod.LANE_MAJOR
+        attention_mod.LANE_MAJOR = lane_major
+        try:
+            return jnp.sum(multi_head_attention(q, k, v) ** 2)
+        finally:
+            attention_mod.LANE_MAJOR = prev
+
+    g1 = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2))(q, k, v)
+    g0 = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
