@@ -38,13 +38,15 @@ HEAD_LOOP_MAX = int(_os.environ.get("MICFORMER_ATTN_HEADLOOP_MAX", "4"))
 # VPU-only fused QK/softmax/PV for T<=8 windows — q/k/v read once, out
 # written once, no relayouts or logit round-trips. A/B-gated.
 USE_V2 = _os.environ.get("MICFORMER_ATTENTION_V2", "0") == "1"
-# A/B (round 3): lane-major tiny-window attention — transpose q/k/v so the
-# HUGE window axis N rides the 128-lane dimension and the tiny T=8 / d=16
-# axes become sublane/unrolled math. The profiled stage-0 attention cost is
-# hundreds of minor-dim-8/16 ops ([16384,8,3,16] copies, [16384,8,8] logit
-# fusions) running at 8-16/128 lane efficiency; in [T,d,N] layout every
-# multiply-add is full-lane VPU work and softmax reduces over a major axis.
-LANE_MAJOR = _os.environ.get("MICFORMER_ATTN_LANE_MAJOR", "0") == "1"
+# Lane-major tiny-window attention (round-3 A/B WINNER: 5.30 vs 4.07 vol/s,
+# p50 latency −20%, bf16 sw4 protocol) — transpose q/k/v so the HUGE window
+# axis N rides the 128-lane dimension and the tiny T=8 / d=16 axes become
+# sublane/unrolled math. The profiled stage-0 attention cost was hundreds of
+# minor-dim-8/16 ops ([16384,8,3,16] copies, [16384,8,8] logit fusions)
+# running at 8-16/128 lane efficiency; in [T,d,N] layout every multiply-add
+# is full-lane VPU work and softmax reduces over a major axis. Default ON for
+# the unbiased/unmasked tiny-window regime; set =0 to fall back.
+LANE_MAJOR = _os.environ.get("MICFORMER_ATTN_LANE_MAJOR", "1") == "1"
 
 
 def multi_head_attention(
