@@ -45,6 +45,12 @@ FLAT_BATCH = os.environ.get("MICFORMER_WARP_FLAT_BATCH", "0") == "1"
 # PER cross block at stage 0 — as costly as the gather itself); the unrolled
 # form reads the blocks once in a single fusion and the weights stay [B,N].
 UNROLLED_LERP = os.environ.get("MICFORMER_WARP_UNROLLED_LERP", "0") == "1"
+# A/B (round 3): row-gather formulation — pre-concatenate the 8 shifted corner
+# copies into a [B,D,H,W,8C] source so each sample point is ONE contiguous
+# 8C-wide row fetch (take_along_axis, the lowering this stack favors — see the
+# custom VJP note), then contract with [B,N,8] weights. Eliminates both the
+# multi-dim-slice gather AND the pathological [B,N,2,2,2] weight layout.
+ROW_GATHER = os.environ.get("MICFORMER_WARP_ROW_GATHER", "0") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
@@ -89,9 +95,34 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
     wy0, wy1 = _axis_pair_weights(y0, fy.reshape(B, N), H)
     wx0, wx1 = _axis_pair_weights(x0, fx.reshape(B, N), W)
 
-    starts = jnp.stack([jnp.clip(z0, 0, D - 2),
-                        jnp.clip(y0, 0, H - 2),
-                        jnp.clip(x0, 0, W - 2)], axis=-1)  # [B, N, 3]
+    zc = jnp.clip(z0, 0, D - 2)
+    yc = jnp.clip(y0, 0, H - 2)
+    xc = jnp.clip(x0, 0, W - 2)
+
+    if ROW_GATHER:
+        # [B,D,H,W,8C] source: corner k=(kz,ky,kx) lives at channels
+        # [k*C, (k+1)*C). Far-edge positions of each shifted copy are zero
+        # padding, never read (starts are clamped to size-2).
+        shifted = []
+        for kz in (0, 1):
+            for ky in (0, 1):
+                for kx in (0, 1):
+                    s = src[:, kz:, ky:, kx:, :]
+                    s = jnp.pad(s, ((0, 0), (0, kz), (0, ky), (0, kx), (0, 0)))
+                    shifted.append(s)
+        csrc = jnp.concatenate(shifted, axis=-1).reshape(B, D * H * W, 8 * C)
+        flat_idx = ((zc * H + yc) * W + xc)[..., None]            # [B, N, 1]
+        rows = jnp.take_along_axis(csrc, flat_idx, axis=1)        # [B, N, 8C]
+        blocks8 = rows.reshape(B, N, 8, C)
+        wz = jnp.stack([wz0, wz1], -1)                            # [B, N, 2]
+        wy = jnp.stack([wy0, wy1], -1)
+        wx = jnp.stack([wx0, wx1], -1)
+        w8 = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+              * wx[:, :, None, None, :]).reshape(B, N, 8).astype(src.dtype)
+        out = jnp.sum(blocks8 * w8[..., None], axis=2)            # [B, N, C]
+        return out.reshape((B,) + out_spatial + (C,))
+
+    starts = jnp.stack([zc, yc, xc], axis=-1)  # [B, N, 3]
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3, 4),

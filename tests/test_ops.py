@@ -226,3 +226,20 @@ def test_lane_major_attention_matches_batched(rng):
     g0 = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_trilinear_row_gather_matches_block(rng):
+    """The row-gather formulation (concat-8-shift source + take_along_axis
+    rows + [B,N,8] weights) must equal the block-gather path bit-for-bit."""
+    src = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-3.0, 9.0, size=(2, 3, 4, 4, 4)).astype(np.float32))
+    prev = warp_ops.ROW_GATHER
+    try:
+        warp_ops.ROW_GATHER = False
+        a = warp_ops._trilinear_sample_block(src, coords)
+        warp_ops.ROW_GATHER = True
+        b = warp_ops._trilinear_sample_block(src, coords)
+    finally:
+        warp_ops.ROW_GATHER = prev
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
