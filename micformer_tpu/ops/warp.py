@@ -51,6 +51,13 @@ UNROLLED_LERP = os.environ.get("MICFORMER_WARP_UNROLLED_LERP", "0") == "1"
 # custom VJP note), then contract with [B,N,8] weights. Eliminates both the
 # multi-dim-slice gather AND the pathological [B,N,2,2,2] weight layout.
 ROW_GATHER = os.environ.get("MICFORMER_WARP_ROW_GATHER", "0") == "1"
+# A/B (round 3): backward formulation for the custom VJP. "corners" (the
+# round-1 choice) differentiates 8 independent row gathers -> 8 scatter-adds
+# + 8 index sorts per warp; "rowgather" differentiates the concat-8-shift row
+# fetch -> ONE scatter-add of 8C-wide rows + 8 dense shifted slice-adds (the
+# concat/pad transposes). The train-step profile (round 3, b2 128^3) showed
+# the corner scatters' fusions at 36% of the whole step.
+BWD_ROW_GATHER = os.environ.get("MICFORMER_WARP_BWD_ROW_GATHER", "0") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
@@ -95,34 +102,12 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
     wy0, wy1 = _axis_pair_weights(y0, fy.reshape(B, N), H)
     wx0, wx1 = _axis_pair_weights(x0, fx.reshape(B, N), W)
 
-    zc = jnp.clip(z0, 0, D - 2)
-    yc = jnp.clip(y0, 0, H - 2)
-    xc = jnp.clip(x0, 0, W - 2)
-
     if ROW_GATHER:
-        # [B,D,H,W,8C] source: corner k=(kz,ky,kx) lives at channels
-        # [k*C, (k+1)*C). Far-edge positions of each shifted copy are zero
-        # padding, never read (starts are clamped to size-2).
-        shifted = []
-        for kz in (0, 1):
-            for ky in (0, 1):
-                for kx in (0, 1):
-                    s = src[:, kz:, ky:, kx:, :]
-                    s = jnp.pad(s, ((0, 0), (0, kz), (0, ky), (0, kx), (0, 0)))
-                    shifted.append(s)
-        csrc = jnp.concatenate(shifted, axis=-1).reshape(B, D * H * W, 8 * C)
-        flat_idx = ((zc * H + yc) * W + xc)[..., None]            # [B, N, 1]
-        rows = jnp.take_along_axis(csrc, flat_idx, axis=1)        # [B, N, 8C]
-        blocks8 = rows.reshape(B, N, 8, C)
-        wz = jnp.stack([wz0, wz1], -1)                            # [B, N, 2]
-        wy = jnp.stack([wy0, wy1], -1)
-        wx = jnp.stack([wx0, wx1], -1)
-        w8 = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
-              * wx[:, :, None, None, :]).reshape(B, N, 8).astype(src.dtype)
-        out = jnp.sum(blocks8 * w8[..., None], axis=2)            # [B, N, C]
-        return out.reshape((B,) + out_spatial + (C,))
+        return _trilinear_sample_rows(src, coords)
 
-    starts = jnp.stack([zc, yc, xc], axis=-1)  # [B, N, 3]
+    starts = jnp.stack([jnp.clip(z0, 0, D - 2),
+                        jnp.clip(y0, 0, H - 2),
+                        jnp.clip(x0, 0, W - 2)], axis=-1)  # [B, N, 3]
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3, 4),
@@ -182,6 +167,59 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
     return out.reshape((B,) + out_spatial + (C,))
 
 
+def _trilinear_sample_rows(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather formulation: concat the 8 shifted corner copies into a
+    [B,D,H,W,8C] source, fetch ONE contiguous 8C row per sample point
+    (take_along_axis), contract with [B,N,8] clamp-shifted weights.
+
+    Same math as the block/corner forms (bit-exact vs block gather, see
+    tests/test_ops.py). Its autodiff transpose is ONE scatter-add of 8C-wide
+    rows + 8 dense shifted slice-adds (the concat/pad transposes) — vs the
+    8-corner form's 8 scatter-adds + 8 index sorts per warp."""
+    B, D, H, W, C = src.shape
+    cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
+    out_spatial = cz.shape[1:]
+    N = int(np.prod(out_spatial)) if out_spatial else 1
+
+    z0 = jnp.floor(cz)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fz, fy, fx = cz - z0, cy - y0, cx - x0
+    z0 = z0.astype(jnp.int32).reshape(B, N)
+    y0 = y0.astype(jnp.int32).reshape(B, N)
+    x0 = x0.astype(jnp.int32).reshape(B, N)
+
+    wz0, wz1 = _axis_pair_weights(z0, fz.reshape(B, N), D)
+    wy0, wy1 = _axis_pair_weights(y0, fy.reshape(B, N), H)
+    wx0, wx1 = _axis_pair_weights(x0, fx.reshape(B, N), W)
+
+    zc = jnp.clip(z0, 0, D - 2)
+    yc = jnp.clip(y0, 0, H - 2)
+    xc = jnp.clip(x0, 0, W - 2)
+
+    # [B,D,H,W,8C] source: corner k=(kz,ky,kx) lives at channels
+    # [k*C, (k+1)*C). Far-edge positions of each shifted copy are zero
+    # padding, never read (starts are clamped to size-2).
+    shifted = []
+    for kz in (0, 1):
+        for ky in (0, 1):
+            for kx in (0, 1):
+                s = src[:, kz:, ky:, kx:, :]
+                s = jnp.pad(s, ((0, 0), (0, kz), (0, ky), (0, kx), (0, 0)))
+                shifted.append(s)
+    csrc = jnp.concatenate(shifted, axis=-1).reshape(B, D * H * W, 8 * C)
+    flat_idx = ((zc * H + yc) * W + xc)[..., None]            # [B, N, 1]
+    rows = jnp.take_along_axis(csrc, flat_idx, axis=1)        # [B, N, 8C]
+    blocks8 = rows.reshape(B, N, 8, C)
+    wz = jnp.stack([wz0, wz1], -1)                            # [B, N, 2]
+    wy = jnp.stack([wy0, wy1], -1)
+    wx = jnp.stack([wx0, wx1], -1)
+    w8 = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+          * wx[:, :, None, None, :]).reshape(B, N, 8).astype(src.dtype)
+    out = jnp.sum(blocks8 * w8[..., None], axis=2)            # [B, N, C]
+    return out.reshape((B,) + out_spatial + (C,))
+
+
 def trilinear_sample(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample `src` at fractional voxel coordinates with zeros padding.
 
@@ -216,7 +254,9 @@ def _tri_fwd(src, coords):
 
 def _tri_bwd(res, g):
     src, coords = res
-    _, vjp = jax.vjp(_trilinear_sample_corners, src, coords)
+    bwd_form = (_trilinear_sample_rows if BWD_ROW_GATHER
+                else _trilinear_sample_corners)
+    _, vjp = jax.vjp(bwd_form, src, coords)
     return vjp(g)
 
 

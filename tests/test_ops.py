@@ -243,3 +243,21 @@ def test_trilinear_row_gather_matches_block(rng):
     finally:
         warp_ops.ROW_GATHER = prev
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trilinear_rows_grad_matches_corners(rng):
+    """The row-gather formulation's VJP (one row scatter + dense shifted
+    adds) must match the 8-corner form's gradients for both src and coords."""
+    src = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-3.0, 9.0, size=(2, 3, 4, 4, 4)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 3)).astype(np.float32))
+
+    def grads(fn):
+        _, vjp = jax.vjp(fn, src, coords)
+        return vjp(g)
+
+    gc = grads(warp_ops._trilinear_sample_corners)
+    gr = grads(warp_ops._trilinear_sample_rows)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), atol=1e-5)
