@@ -51,13 +51,14 @@ UNROLLED_LERP = os.environ.get("MICFORMER_WARP_UNROLLED_LERP", "0") == "1"
 # custom VJP note), then contract with [B,N,8] weights. Eliminates both the
 # multi-dim-slice gather AND the pathological [B,N,2,2,2] weight layout.
 ROW_GATHER = os.environ.get("MICFORMER_WARP_ROW_GATHER", "0") == "1"
-# A/B (round 3): backward formulation for the custom VJP. "corners" (the
-# round-1 choice) differentiates 8 independent row gathers -> 8 scatter-adds
-# + 8 index sorts per warp; "rowgather" differentiates the concat-8-shift row
-# fetch -> ONE scatter-add of 8C-wide rows + 8 dense shifted slice-adds (the
-# concat/pad transposes). The train-step profile (round 3, b2 128^3) showed
-# the corner scatters' fusions at 36% of the whole step.
-BWD_ROW_GATHER = os.environ.get("MICFORMER_WARP_BWD_ROW_GATHER", "0") == "1"
+# Backward formulation for the custom VJP (round-3 A/B WINNER: train step
+# 237.7 -> 162.0 ms/call device time, b2 128^3 bf16). "corners" (the round-1
+# choice) differentiates 8 independent row gathers -> 8 scatter-adds + 8
+# index sorts per warp; "rowgather" (default) differentiates the
+# concat-8-shift row fetch -> ONE scatter-add of 8C-wide rows + 8 dense
+# shifted slice-adds (the concat/pad transposes). The corner scatters'
+# fusions were 36% of the whole train step; the row scatter is 9%.
+BWD_ROW_GATHER = os.environ.get("MICFORMER_WARP_BWD_ROW_GATHER", "1") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
