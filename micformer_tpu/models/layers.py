@@ -31,7 +31,12 @@ from micformer_tpu.ops.windows import (
     adjust_window_shift,
     cyclic_shift,
 )
-from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge_heads
+from micformer_tpu.ops.attention import (
+    multi_head_attention,
+    split_heads,
+    merge_heads,
+    lane_major_attention_core,
+)
 
 # A/B (round 3): Conv3x3ViaDot pre-projection — one [C, 27F] matmul + 27
 # shifted slice-adds instead of 27 shifted full-input dots (input read once
@@ -39,6 +44,42 @@ from micformer_tpu.ops.attention import multi_head_attention, split_heads, merge
 import os as _os
 
 PREPROJECT = _os.environ.get("MICFORMER_CONV3_PREPROJECT", "0") == "1"
+# A/B (round 3, follow-up to the lane-major attention win): run the q/kv
+# PROJECTIONS and output proj in the [T, C, N] lane-major layout too — one
+# entry transpose of each input stream instead of three per-operand moveaxis
+# of q/k/v, with every elementwise/bias op at full 128-lane width. Profiled
+# motivation: post-lane-major forward is 57.6% transpose/copy.
+ATTN_LANE_PROJ = _os.environ.get("MICFORMER_ATTN_LANE_PROJ", "0") == "1"
+# Whole-block lane-major residual stream for unshifted tiny-window Swin
+# blocks: lattice-transpose [B,D,H,W,C] -> [T,C,N] once per block; LN, qkv,
+# attention, proj, MLP and both residual adds all run lane-major.
+BLOCK_LANE_MAJOR = _os.environ.get("MICFORMER_BLOCK_LANE_MAJOR", "0") == "1"
+
+
+def _dense_lane(xt: jnp.ndarray, mod: nn.Dense, dt) -> jnp.ndarray:
+    """Apply a materialized nn.Dense to a lane-major [T, Cin, N] tensor as
+    einsum('tcn,cf->tfn') + bias — same math as Dense on [N, T, Cin] (the
+    dot contraction and dtype promotion mirror flax's), different layout."""
+    params = mod.variables["params"]
+    w = params["kernel"].astype(dt)
+    y = jnp.einsum("tcn,cf->tfn", xt.astype(dt), w)
+    if "bias" in params:
+        y = y + params["bias"].astype(dt)[None, :, None]
+    return y
+
+
+def _lane_layer_norm(xt: jnp.ndarray, mod: nn.LayerNorm, eps: float, dt) -> jnp.ndarray:
+    """flax LayerNorm over the C axis of a lane-major [T, C, N] tensor:
+    f32 fast-variance stats (E[x^2]-E[x]^2, clipped at 0), f32 normalize +
+    scale/bias, cast to dt — bit-matching flax's _compute_stats/_normalize."""
+    params = mod.variables["params"]
+    x32 = xt.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32)[None, :, None]
+    y = y + params["bias"].astype(jnp.float32)[None, :, None]
+    return y.astype(dt)
 
 
 def pad_to_multiple(x: jnp.ndarray, multiple) -> jnp.ndarray:
@@ -109,10 +150,18 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None, window_perm=None):
+    def __call__(self, x, context=None, mask=None, window_perm=None,
+                 lane_layout=False):
+        if lane_layout:
+            # caller keeps the residual stream lane-major: x (and context)
+            # are [T, C, N]; return [T, C, N].
+            return self._lane_path(x, context, lane_in=True)
         N, T, C = x.shape
         h = self.num_heads
         inner = (self.head_dim * h) if self.head_dim else self.dim
+        if (ATTN_LANE_PROJ and not self.rel_pos_bias and mask is None
+                and window_perm is None and T <= 16 and N >= 1024):
+            return self._lane_path(x, context, lane_in=False)
         if self.cross or context is not None:
             ctx = x if context is None else context
             q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
@@ -148,6 +197,53 @@ class WindowAttention3D(nn.Module):
         out = merge_heads(out)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
+    def _lane_path(self, x, context, lane_in: bool):
+        """Projections + attention core + output proj in lane-major layout.
+
+        Same parameter tree as the batched path (the Dense modules are
+        materialized by 1-token dummy calls, then applied as lane-major
+        einsums); same accumulation dtypes and softmax math. One transpose
+        per input stream in / one out (vs three per-operand moveaxis inside
+        multi_head_attention's lane-major core), and every bias/elementwise
+        op runs at full 128-lane width over the window axis N."""
+        dt = self.dtype
+        if lane_in:
+            T, C, N = x.shape
+            xt = x
+        else:
+            N, T, C = x.shape
+            xt = jnp.transpose(x, (1, 2, 0))                 # [T, C, N]
+        h = self.num_heads
+        inner = (self.head_dim * h) if self.head_dim else self.dim
+        d = inner // h
+        scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
+        if self.cross or context is not None:
+            ctx = xt if context is None else (
+                context if lane_in else jnp.transpose(context, (1, 2, 0)))
+            q_mod = nn.Dense(inner, use_bias=self.qkv_bias, dtype=dt, name="q")
+            kv_mod = nn.Dense(2 * inner, use_bias=self.qkv_bias, dtype=dt, name="kv")
+            _ = q_mod(jnp.zeros((1, 1, C), dt))
+            _ = kv_mod(jnp.zeros((1, 1, ctx.shape[1]), dt))
+            qt = _dense_lane(xt, q_mod, dt)                  # [Tq, F, N]
+            kvt = _dense_lane(ctx, kv_mod, dt)               # [Tk, 2F, N]
+            kt, vt = jnp.split(kvt, 2, axis=1)
+        else:
+            qkv_mod = nn.Dense(3 * inner, use_bias=self.qkv_bias, dtype=dt, name="qkv")
+            _ = qkv_mod(jnp.zeros((1, 1, C), dt))
+            qkvt = _dense_lane(xt, qkv_mod, dt)              # [T, 3F, N]
+            qt, kt, vt = jnp.split(qkvt, 3, axis=1)
+        Tq, Tk = qt.shape[0], kt.shape[0]
+        acc_t = jnp.float32 if qt.dtype == jnp.float32 else qt.dtype
+        q4 = (qt.astype(acc_t) * jnp.asarray(scale, acc_t)).reshape(Tq, h, d, -1)
+        k4 = kt.astype(acc_t).reshape(Tk, h, d, -1)
+        v4 = vt.reshape(Tk, h, d, -1)
+        out = lane_major_attention_core(q4, k4, v4, acc_t)   # [Tq, h, d, N]
+        out = out.reshape(Tq, inner, -1).astype(dt)
+        proj_mod = nn.Dense(self.dim, dtype=dt, name="proj")
+        _ = proj_mod(jnp.zeros((1, 1, inner), dt))
+        yt = _dense_lane(out, proj_mod, dt)                  # [Tq, dim, N]
+        return yt if lane_in else jnp.transpose(yt, (2, 0, 1))
+
 
 class SwinBlock3D(nn.Module):
     """Generic (shifted-)window transformer block on [B, D, H, W, C].
@@ -174,6 +270,16 @@ class SwinBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, D, H, W, C = x.shape
+        if (BLOCK_LANE_MAJOR and not self.rel_pos_bias
+                and not self.swinunet_scramble and self.head_dim is None
+                and self.dropout == 0.0):
+            ws_l, ss_l = adjust_window_shift((D, H, W), self.window_size,
+                                             self.shift_size)
+            T_l = ws_l[0] * ws_l[1] * ws_l[2]
+            if (not any(ss_l) and D % ws_l[0] == 0 and H % ws_l[1] == 0
+                    and W % ws_l[2] == 0 and T_l <= 16
+                    and B * (D // ws_l[0]) * (H // ws_l[1]) * (W // ws_l[2]) >= 1024):
+                return self._lane_block(x, ws_l, deterministic)
         if self.swinunet_scramble:
             # the reference SwinUnet3D has no window clamp (it asserts input
             # size instead): shift + mask run even on a single-window grid
@@ -213,6 +319,63 @@ class SwinBlock3D(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = Mlp(int(C * self.mlp_ratio), C, self.dropout, dtype=self.dtype)(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
+
+    def _lane_block(self, x, ws, deterministic: bool):
+        """Whole block in lane-major [T, C, N] layout (unshifted windows).
+
+        One lattice transpose in, one out; LN / qkv / attention / proj / MLP
+        and both residual adds run with the window axis N on the 128-lane
+        dim. Window partition for ws=(2,2,2) is exactly the parity-bit
+        split of the spatial dims, so the entry transpose IS the window
+        partition — the separate partition/reverse copies of the base path
+        disappear. Parameter tree identical to the base path (LayerNorm /
+        attn / Mlp created in the same order with the same names)."""
+        B, D, H, W, C = x.shape
+        wd, wh, ww = ws
+        nD, nH, nW_ = D // wd, H // wh, W // ww
+        T, N = wd * wh * ww, B * nD * nH * nW_
+        dt = self.dtype
+        xt = x.reshape(B, nD, wd, nH, wh, nW_, ww, C)
+        xt = xt.transpose(2, 4, 6, 7, 0, 1, 3, 5).reshape(T, C, N)
+
+        ln0 = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        _ = ln0(jnp.zeros((1, 1, C), dt))
+        xn = _lane_layer_norm(xt, ln0, 1e-5, dt)
+        at = WindowAttention3D(
+            self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
+            rel_pos_bias=False, head_dim=self.head_dim, dtype=dt, name="attn",
+        )(xn, lane_layout=True)                              # [T, C, N]
+        xt = xt + self._lane_drop_path(at, B, deterministic)
+
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        _ = ln1(jnp.zeros((1, 1, C), dt))
+        yt = _lane_layer_norm(xt, ln1, 1e-5, dt)
+        mlp = Mlp(int(C * self.mlp_ratio), C, self.dropout, dtype=dt)
+        _ = mlp(jnp.zeros((1, 1, C), dt), True)
+        params = mlp.variables["params"]
+        w0, b0 = params["Dense_0"]["kernel"].astype(dt), params["Dense_0"]["bias"].astype(dt)
+        w1, b1 = params["Dense_1"]["kernel"].astype(dt), params["Dense_1"]["bias"].astype(dt)
+        ht = jnp.einsum("tcn,cf->tfn", yt.astype(dt), w0) + b0[None, :, None]
+        ht = nn.gelu(ht, approximate=False)
+        ot = jnp.einsum("tfn,fc->tcn", ht, w1) + b1[None, :, None]
+        xt = xt + self._lane_drop_path(ot, B, deterministic)
+
+        out = xt.reshape(wd, wh, ww, C, B, nD, nH, nW_)
+        out = out.transpose(4, 5, 0, 6, 1, 7, 2, 3).reshape(B, D, H, W, C)
+        return out
+
+    def _lane_drop_path(self, xt, B: int, deterministic: bool):
+        """DropPath on a lane-major [T, C, N] residual branch: the per-sample
+        mask broadcasts over N (batch-major raster), matching the base
+        DropPath's (B,1,1,1,1) semantics."""
+        if self.drop_path == 0.0 or deterministic:
+            return xt
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (B,))
+        N = xt.shape[2]
+        mask_n = jnp.repeat(mask, N // B)[None, None, :]
+        return jnp.where(mask_n, xt / keep, 0.0).astype(xt.dtype)
 
 
 class PatchEmbed3D(nn.Module):

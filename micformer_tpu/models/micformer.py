@@ -63,6 +63,11 @@ from micformer_tpu import registry
 # warped feature map (whose voxel-order materialization + window_partition
 # transpose profiled alongside the gather itself).
 WARP_WINDOW_ORDER = os.environ.get("MICFORMER_WARP_WINDOW_ORDER", "0") == "1"
+# A/B (round 3, lane-major family): run the cross block's norm2+MLP tail in
+# [C, M] lane-major layout (tokens on the 128-lane dim) — the cross blocks
+# are half of all blocks and their LNs otherwise reduce over a C=48 minor
+# dim at 48/128 lane efficiency. Same params; math parity tested.
+CROSS_LANE_TAIL = os.environ.get("MICFORMER_CROSS_LANE_TAIL", "0") == "1"
 
 
 class CrossBlock3D(nn.Module):
@@ -127,8 +132,28 @@ class CrossBlock3D(nn.Module):
         h = window_reverse(attn, ws, B, Dp, Hp, Wp)[:, :D, :H, :W]
 
         x = shortcut + DropPath(self.drop_path)(h, deterministic)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, deterministic)
+        if CROSS_LANE_TAIL and B * D * H * W >= 1024:
+            from micformer_tpu.models.layers import _dense_lane, _lane_layer_norm
+
+            M = B * D * H * W
+            xt = x.reshape(M, C).T[None]                     # [1, C, M]
+            norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+            _ = norm2(jnp.zeros((1, 1, C), self.dtype))
+            yt = _lane_layer_norm(xt, norm2, 1e-5, self.dtype)
+            mlp = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")
+            _ = mlp(jnp.zeros((1, 1, C), self.dtype), True)
+            mp = mlp.variables["params"]
+            w0 = mp["Dense_0"]["kernel"].astype(self.dtype)
+            b0 = mp["Dense_0"]["bias"].astype(self.dtype)
+            w1 = mp["Dense_1"]["kernel"].astype(self.dtype)
+            b1 = mp["Dense_1"]["bias"].astype(self.dtype)
+            ht = jnp.einsum("tcn,cf->tfn", yt.astype(self.dtype), w0) + b0[None, :, None]
+            ht = nn.gelu(ht, approximate=False)
+            ot = jnp.einsum("tfn,fc->tcn", ht, w1) + b1[None, :, None]
+            y = ot[0].T.reshape(B, D, H, W, C)
+        else:
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
 

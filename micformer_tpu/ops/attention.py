@@ -159,31 +159,39 @@ def _head_loop_attention(qf, kf, v, acc_t):
     return jnp.stack(outs, axis=2)  # [N, T, h, d]
 
 
-def _lane_major_attention(qf, kf, v, acc_t):
-    """Attention with the window axis N on the minor (lane) dimension.
+def lane_major_attention_core(q_t, k_t, v_t, acc_t):
+    """Attention core on lane-major [T, h, d, N] operands (q pre-scaled).
 
-    qf/kf: [N, T, h, d] (q pre-scaled); v: [N, Tk, h, d]. Transposes each
-    operand to [T, h, d, N] (a single relayout of a few MB — far cheaper than
-    the per-op minor-dim-8 penalty it removes), then per head computes
+    Per head computes
       logits[q, k, :] = sum_d q[q, d, :] * k[k, d, :]      (d = sublane reduce)
       out[q, d, :]    = sum_k p[q, k, :] * v[k, d, :]      (k = major reduce)
-    as full-lane VPU fusions. Same max-sub/post-PV-normalized softmax math as
-    the batched path (exact f32 parity when inputs are f32)."""
-    N, Tq, h, d = qf.shape
-    Tk = kf.shape[1]
-    q_t = jnp.moveaxis(qf, 0, -1)            # [Tq, h, d, N]
-    k_t = jnp.moveaxis(kf, 0, -1)            # [Tk, h, d, N]
-    v_t = jnp.moveaxis(v, 0, -1)             # [Tk, h, d, N]
+    as full-lane VPU fusions — the huge window axis N rides the 128-lane dim.
+    Same max-sub/post-PV-normalized softmax math as the batched path (exact
+    f32 parity when inputs are f32). Returns [Tq, h, d, N] in v_t.dtype."""
+    h = q_t.shape[1]
     outs = []
     for i in range(h):
         qh, kh, vh = q_t[:, i], k_t[:, i], v_t[:, i]        # [T, d, N]
         a = jnp.sum(qh[:, None] * kh[None], axis=2)          # [Tq, Tk, N]
         m = jax.lax.stop_gradient(jnp.max(a, axis=1, keepdims=True))
-        p = jnp.exp(a - m).astype(v.dtype)                   # [Tq, Tk, N]
+        p = jnp.exp(a - m).astype(v_t.dtype)                 # [Tq, Tk, N]
         denom = jnp.sum(p.astype(jnp.float32), axis=1)       # [Tq, N]
         o = jnp.sum(p[:, :, None] * vh[None], axis=1)        # [Tq, d, N]
-        outs.append(o / denom[:, None].astype(v.dtype))
-    out = jnp.stack(outs, axis=1)                            # [Tq, h, d, N]
+        outs.append(o / denom[:, None].astype(v_t.dtype))
+    return jnp.stack(outs, axis=1)                           # [Tq, h, d, N]
+
+
+def _lane_major_attention(qf, kf, v, acc_t):
+    """Attention with the window axis N on the minor (lane) dimension.
+
+    qf/kf: [N, T, h, d] (q pre-scaled); v: [N, Tk, h, d]. Transposes each
+    operand to [T, h, d, N] (a single relayout of a few MB — far cheaper than
+    the per-op minor-dim-8 penalty it removes), then runs
+    lane_major_attention_core."""
+    q_t = jnp.moveaxis(qf, 0, -1)            # [Tq, h, d, N]
+    k_t = jnp.moveaxis(kf, 0, -1)            # [Tk, h, d, N]
+    v_t = jnp.moveaxis(v, 0, -1)             # [Tk, h, d, N]
+    out = lane_major_attention_core(q_t, k_t, v_t, acc_t)    # [Tq, h, d, N]
     return jnp.moveaxis(out, -1, 0)                          # [N, Tq, h, d]
 
 

@@ -1,0 +1,175 @@
+"""Parity tests for the lane-major block/projection paths (round-3 perf work).
+
+The lane-major formulations (`MICFORMER_ATTN_LANE_PROJ`,
+`MICFORMER_BLOCK_LANE_MAJOR`) keep the transformer-block residual stream in
+[T, C, N] layout — window axis N on the 128-lane dim — and apply the SAME
+parameter tree (LayerNorm/Dense modules materialized by dummy calls) as
+lane-major einsums. These tests pin forward, gradient, parameter-tree and
+initialization parity against the default batched paths; the reference
+behavior being preserved is MicFormer's TransformerBlock3D / window attention
+(MicFormer/models/MICFormer_self.py:430-524, 148-261 — studied, not copied).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import micformer_tpu.models.layers as L
+
+
+def _flip(attn=None, block=None):
+    prev = (L.ATTN_LANE_PROJ, L.BLOCK_LANE_MAJOR)
+    if attn is not None:
+        L.ATTN_LANE_PROJ = attn
+    if block is not None:
+        L.BLOCK_LANE_MAJOR = block
+    return prev
+
+
+def _restore(prev):
+    L.ATTN_LANE_PROJ, L.BLOCK_LANE_MAJOR = prev
+
+
+def test_attn_lane_proj_self_parity(rng):
+    x = jnp.asarray(rng.normal(size=(2048, 8, 48)).astype(np.float32))
+    mod = L.WindowAttention3D(48, (2, 2, 2), 3)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    prev = _flip(attn=False)
+    try:
+        base = mod.apply(params, x)
+        _flip(attn=True)
+        lane = mod.apply(params, x)
+        # init under the lane path must produce the identical tree + values
+        p2 = mod.init(jax.random.PRNGKey(1), x)
+    finally:
+        _restore(prev)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=2e-5)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attn_lane_proj_cross_parity(rng):
+    x = jnp.asarray(rng.normal(size=(1536, 8, 24)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(1536, 8, 24)).astype(np.float32))
+    mod = L.WindowAttention3D(24, (2, 2, 2), 3, cross=True)
+    params = mod.init(jax.random.PRNGKey(2), x, ctx)
+    prev = _flip(attn=False)
+    try:
+        base = mod.apply(params, x, ctx)
+        _flip(attn=True)
+        lane = mod.apply(params, x, ctx)
+    finally:
+        _restore(prev)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=2e-5)
+
+
+def test_attn_lane_proj_ineligible_falls_back(rng):
+    # rel-pos bias / mask / small N must keep the batched path (same module,
+    # no error, and — for small N — identical results with the flag on/off).
+    x = jnp.asarray(rng.normal(size=(64, 8, 24)).astype(np.float32))  # N < 1024
+    mod = L.WindowAttention3D(24, (2, 2, 2), 3)
+    params = mod.init(jax.random.PRNGKey(3), x)
+    prev = _flip(attn=True)
+    try:
+        lane = mod.apply(params, x)
+    finally:
+        _restore(prev)
+    base = mod.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(lane))
+
+
+def test_swinblock_lane_major_forward_and_grad_parity(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 48)).astype(np.float32))
+    mod = L.SwinBlock3D(48, 3, window_size=(2, 2, 2))
+    params = mod.init(jax.random.PRNGKey(5), x)
+
+    def loss(p):
+        return jnp.mean(mod.apply(p, x) ** 2)
+
+    prev = _flip(block=False)
+    try:
+        base = mod.apply(params, x)
+        g0 = jax.grad(loss)(params)
+        _flip(block=True)
+        lane = mod.apply(params, x)
+        g1 = jax.grad(loss)(params)
+        p2 = mod.init(jax.random.PRNGKey(5), x)
+    finally:
+        _restore(prev)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=2e-5)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0), jax.tree_util.tree_leaves_with_path(g1)
+    ):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4,
+            err_msg=str(ka))
+
+
+def test_swinblock_lane_major_shifted_falls_back(rng):
+    # shifted windows are ineligible — flag on must equal flag off exactly
+    # (both run the base path).
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 24)).astype(np.float32))
+    mod = L.SwinBlock3D(24, 3, window_size=(2, 2, 2), shift_size=(1, 1, 1),
+                        rel_pos_bias=True)
+    params = mod.init(jax.random.PRNGKey(6), x)
+    base = mod.apply(params, x)
+    prev = _flip(block=True, attn=True)
+    try:
+        lane = mod.apply(params, x)
+    finally:
+        _restore(prev)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(lane))
+
+
+def test_cross_block_lane_tail_parity(rng):
+    """CrossBlock3D norm2+MLP in [C, M] lane-major layout must match the
+    spatial path — forward and per-parameter relative gradients."""
+    import micformer_tpu.models.micformer as M
+
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 24)).astype(np.float32))
+    xa = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 24)).astype(np.float32))
+    blk = M.CrossBlock3D(dim=24, num_heads=3)
+    params = blk.init(jax.random.PRNGKey(0), x, xa)
+    prev = M.CROSS_LANE_TAIL
+    try:
+        M.CROSS_LANE_TAIL = False
+        base = blk.apply(params, x, xa)
+        g0 = jax.grad(lambda p: jnp.mean(blk.apply(p, x, xa) ** 2))(params)
+        M.CROSS_LANE_TAIL = True
+        lane = blk.apply(params, x, xa)
+        g1 = jax.grad(lambda p: jnp.mean(blk.apply(p, x, xa) ** 2))(params)
+    finally:
+        M.CROSS_LANE_TAIL = prev
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=2e-5)
+    from flax.traverse_util import flatten_dict
+
+    f0, f1 = flatten_dict(g0["params"]), flatten_dict(g1["params"])
+    for k in f0:
+        scale = float(np.max(np.abs(np.asarray(f0[k])))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(f0[k]) / scale, np.asarray(f1[k]) / scale, atol=1e-4,
+            err_msg="/".join(k))
+
+
+def test_micformer_forward_parity_with_lane_flags(rng):
+    """Full-model wiring check: MicFormer forward with both lane flags ON
+    must match the default build (f32, small volume)."""
+    from micformer_tpu.models.micformer import MicFormer
+
+    x = jnp.asarray(rng.normal(size=(1, 2, 32, 32, 32)).astype(np.float32))
+    model = MicFormer(num_classes=4, embed_dim=24, depths=(1, 1), num_heads=(3, 6))
+    params = model.init(jax.random.PRNGKey(7), x)
+    prev = _flip(attn=False, block=False)
+    try:
+        base = model.apply(params, x)
+        _flip(attn=True, block=True)
+        lane = model.apply(params, x)
+    finally:
+        _restore(prev)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=5e-5)
