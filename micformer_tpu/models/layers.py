@@ -44,12 +44,14 @@ from micformer_tpu.ops.attention import (
 import os as _os
 
 PREPROJECT = _os.environ.get("MICFORMER_CONV3_PREPROJECT", "0") == "1"
-# A/B (round 3, follow-up to the lane-major attention win): run the q/kv
-# PROJECTIONS and output proj in the [T, C, N] lane-major layout too — one
-# entry transpose of each input stream instead of three per-operand moveaxis
-# of q/k/v, with every elementwise/bias op at full 128-lane width. Profiled
-# motivation: post-lane-major forward is 57.6% transpose/copy.
-ATTN_LANE_PROJ = _os.environ.get("MICFORMER_ATTN_LANE_PROJ", "0") == "1"
+# Round-3 A/B WINNER (+6.3%: 5.30 -> 5.64 vol/s, p50 0.2133 -> 0.2071,
+# reproducible across two same-session pairs; train step neutral 162.0 ->
+# 160.5 ms/call): run the q/kv PROJECTIONS and output proj in the [T, C, N]
+# lane-major layout too — one entry transpose of each input stream instead
+# of three per-operand moveaxis of q/k/v, with every elementwise/bias op at
+# full 128-lane width. Profiled motivation: post-lane-major forward was
+# 57.6% transpose/copy. Default ON; =0 falls back to the batched path.
+ATTN_LANE_PROJ = _os.environ.get("MICFORMER_ATTN_LANE_PROJ", "1") == "1"
 # Whole-block lane-major residual stream for unshifted tiny-window Swin
 # blocks: lattice-transpose [B,D,H,W,C] -> [T,C,N] once per block; LN, qkv,
 # attention, proj, MLP and both residual adds all run lane-major.
