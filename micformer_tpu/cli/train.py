@@ -113,6 +113,7 @@ def main(argv=None):
         num_modalities=((1 if cfg.data.single_modal else 2)
                         if cfg.train.cascade_prev_seg_dir else None),
         pretrained=cfg.train.pretrained,
+        zero1=bool(cfg.train.zero1),
         roi=tuple(cfg.infer.roi),
         sw_overlap=cfg.infer.overlap,
         sw_batch_size=cfg.infer.sw_batch_size,

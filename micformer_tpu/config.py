@@ -59,6 +59,9 @@ class TrainerConfig:
     augment: str = "monai"
     # device mesh spec, e.g. "data=8" — DDP-equivalent pjit data parallelism
     mesh: str | None = None
+    # ZeRO-1 optimizer-state sharding over the mesh 'data' axis (moments at
+    # 1/N per device; numerics identical to replicated training)
+    zero1: bool = False
     # nnU-Net fg-oversampled patch training (dataset_loading.py:158)
     oversample_fg: float | None = None
     # cascade fullres stage: dir of <pid>_segFromPrevStage.npy lowres preds;
@@ -180,6 +183,9 @@ def build_argparser(defaults: Config | None = None) -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None,
                    help="device mesh spec, e.g. 'data=8' (DDP-equivalent "
                         "pjit data parallelism over ICI)")
+    p.add_argument("--zero1", action="store_true", default=None,
+                   help="shard optimizer state over the mesh 'data' axis "
+                        "(ZeRO-1; needs --mesh with data>1)")
     p.add_argument("--oversample-fg", type=float, default=None,
                    help="nnU-Net patch training: fraction of patches forced "
                         "to contain foreground (dataset_loading.py:158; 0.33 "
@@ -232,6 +238,7 @@ _ARG_MAP = {
     "loss": ("train", "extra_loss"),
     "patience": ("train", "patience"),
     "mesh": ("train", "mesh"),
+    "zero1": ("train", "zero1"),
     "oversample_fg": ("train", "oversample_fg"),
     "cascade_prev_seg_dir": ("train", "cascade_prev_seg_dir"),
     "pretrained": ("train", "pretrained"),

@@ -94,6 +94,13 @@ class TrainConfig:
     # non-strict + heads excluded (nnU-Net run/load_pretrained_weights.py);
     # a live resume checkpoint takes precedence.
     pretrained: str | None = None
+    # ZeRO-1 optimizer-state sharding over the mesh 'data' axis (TPU-native
+    # ZeroRedundancyOptimizer — a scaling capability the reference's plain
+    # DDP lacks): Adam moments live at 1/N per device, GSPMD inserts the
+    # reduce-scatter/all-gather pair around the update. Needs a mesh with a
+    # 'data' axis > 1; no-op otherwise. Numerics identical to replicated
+    # training (tests/test_parallel.py).
+    zero1: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -177,11 +184,23 @@ class Trainer:
         if self.mesh is not None:
             from micformer_tpu.parallel import replicate
 
+            if self._use_zero1():
+                from micformer_tpu.parallel.mesh import zero1_shardings
+
+                osh = zero1_shardings(state.opt_state, self.mesh)
+                opt_state = jax.tree.map(
+                    lambda x, s: jax.device_put(x, s), state.opt_state, osh)
+            else:
+                opt_state = replicate(state.opt_state, self.mesh)
             state = state.replace(
                 params=replicate(state.params, self.mesh),
-                opt_state=replicate(state.opt_state, self.mesh),
+                opt_state=opt_state,
             )
         return state
+
+    def _use_zero1(self) -> bool:
+        return (self.cfg.zero1 and self.mesh is not None
+                and self.mesh.shape.get("data", 1) > 1)
 
     # -- compiled steps ----------------------------------------------------
 
@@ -313,11 +332,39 @@ class Trainer:
         if self.mesh is not None:
             batch_sh = NamedSharding(self.mesh, P("data"))
             rep = NamedSharding(self.mesh, P())
-            self.train_step = jax.jit(
-                train_step,
-                in_shardings=(rep, batch_sh, batch_sh, rep),
-                **donate,
-            )
+            if self._use_zero1():
+                # zero1: explicit per-leaf state shardings (params replicated,
+                # moments sharded by zero1_shardings) pinned on BOTH input and
+                # output — GSPMD keeps the moments at 1/N through the update
+                # and all-gathers only the param delta. Built lazily at first
+                # call (the optimizer-state structure needs a live state).
+                cache = {}
+
+                def z1_step(state, images, labels, key,
+                            _cache=cache, _fn=train_step):
+                    if "jit" not in _cache:
+                        from micformer_tpu.parallel.mesh import zero1_shardings
+
+                        st_sh = state.replace(
+                            step=rep,
+                            params=jax.tree.map(lambda _: rep, state.params),
+                            opt_state=zero1_shardings(state.opt_state, self.mesh),
+                        )
+                        _cache["jit"] = jax.jit(
+                            _fn,
+                            in_shardings=(st_sh, batch_sh, batch_sh, rep),
+                            out_shardings=(st_sh, None),
+                            **donate,
+                        )
+                    return _cache["jit"](state, images, labels, key)
+
+                self.train_step = z1_step
+            else:
+                self.train_step = jax.jit(
+                    train_step,
+                    in_shardings=(rep, batch_sh, batch_sh, rep),
+                    **donate,
+                )
             # validation batches are replicated (val batch is 1 in the
             # reference protocol); case-LEVEL sharding over the mesh is the
             # DDP-parity mechanism (nnUNetTrainerV2_DDP.py:492) — see

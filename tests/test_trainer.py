@@ -78,6 +78,52 @@ def test_data_parallel_train_step(loaders, tmp_path):
     assert int(state2.step) == 1
 
 
+def test_zero1_matches_replicated_training(tmp_path):
+    """ZeRO-1 optimizer-state sharding: 3 train steps with the Adam moments
+    sharded over the 'data' axis must match fully-replicated training, and
+    the moment leaves must actually be partitioned (1/N per device)."""
+    from jax.sharding import PartitionSpec as P
+
+    from micformer_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    model = registry.build("unet3d", channels=(4, 8))
+    base = dict(epochs=1, lr=1e-3, scheduler="constant", seed=3,
+                augment="none")
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 2, 16, 16, 16)).astype(np.float32))
+    labels = jax.nn.one_hot(
+        jnp.asarray(np.random.default_rng(1).integers(0, 8, (8, 16, 16, 16))), 8, axis=1)
+
+    def run(zero1, run_dir):
+        tr = Trainer(model, TrainConfig(run_dir=run_dir, zero1=zero1, **base),
+                     mesh=mesh)
+        state = tr.init_state((8, 2, 16, 16, 16))
+        for i in range(3):
+            state, metrics = tr.train_step(state, images, labels,
+                                           jax.random.key(i))
+        return state, metrics
+
+    s_rep, m_rep = run(False, str(tmp_path / "rep"))
+    s_z1, m_z1 = run(True, str(tmp_path / "z1"))
+
+    # moments are sharded over 'data' on some axis; params stay replicated
+    def spec_of(x):
+        return tuple(getattr(x.sharding, "spec", ()) or ())
+
+    sharded = [x for x in jax.tree.leaves(s_z1.opt_state)
+               if "data" in spec_of(x)]
+    assert sharded, "zero1 left every optimizer leaf replicated"
+    for p in jax.tree.leaves(s_z1.params):
+        assert "data" not in spec_of(p), "params must stay replicated"
+
+    np.testing.assert_allclose(float(m_z1["loss"]), float(m_rep["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_rep.params), jax.tree.leaves(s_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_nan_guard_skips_step(tmp_path):
     model = registry.build("unet3d", channels=(4, 8))
     cfg = TrainConfig(epochs=1, lr=1e-3, run_dir=str(tmp_path / "nan"), scheduler="constant")
