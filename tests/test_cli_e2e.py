@@ -224,6 +224,40 @@ def test_native_geometry_export(tmp_path_factory):
     assert agree > 0.999, f"softmax-resample semantics mismatch ({agree:.4f})"
 
 
+def test_serve_cli(data_root, tmp_path_factory):
+    """Serving loop: warm executable + filesystem request queue. Two dropped
+    requests must produce segmentations + timing sentinels, then the loop
+    must exit on --max-requests."""
+    import time
+
+    from micformer_tpu.cli.serve import main as serve_main
+    from micformer_tpu.data.nifti import read_nifti
+
+    run_dir = getattr(test_train_cli, "run_dir", None)
+    if run_dir is None:
+        pytest.skip("train test did not run")
+    watch = str(tmp_path_factory.mktemp("watch"))
+    out = str(tmp_path_factory.mktemp("served"))
+    rng = np.random.default_rng(0)
+    for name in ("req_a", "req_b"):
+        np.save(os.path.join(watch, name + ".npy"),
+                rng.normal(size=(2, 16, 16, 16)).astype(np.float32))
+    time.sleep(0.3)  # age past the write-complete mtime window
+    serve_main([
+        "--run-dir", run_dir, "--watch", watch, "--out", out,
+        "--target-shape", "16", "--roi", "16", "--sw-batch-size", "1",
+        "--poll", "0.1", "--max-requests", "2",
+    ])
+    for name in ("req_a", "req_b"):
+        seg = read_nifti(os.path.join(out, f"{name}_seg.nii.gz"))
+        assert seg.shape == (16, 16, 16)
+        stats = json.load(open(os.path.join(out, f"{name}.done")))
+        assert stats["latency_s"] > 0
+        assert stats["mean_latency_s"] > 0
+    assert json.load(open(os.path.join(out, "req_b.done")))["served"] == 2 or \
+        json.load(open(os.path.join(out, "req_a.done")))["served"] == 2
+
+
 def test_find_lr_cli(data_root, tmp_path_factory):
     from micformer_tpu.cli.train import main as train_main
 
