@@ -145,3 +145,34 @@ def cyclic_shift(x: jnp.ndarray, shift_size, reverse: bool = False) -> jnp.ndarr
         return x
     sign = 1 if reverse else -1
     return jnp.roll(x, shift=tuple(sign * s for s in shift_size), axis=(1, 2, 3))
+
+
+def window_area_partition(x: jnp.ndarray, window_size) -> jnp.ndarray:
+    """XMorpher-style 27-neighborhood K/V area expansion.
+
+    For every window, gathers the K/V tokens of its 3x3x3 neighborhood on the
+    WINDOW GRID (grid zero-padded by one window slot per side):
+    [B, D, H, W, C] -> [B * nWindows, 27 * prod(window_size), C], neighbor
+    slots ordered z-major then y then x (slot 13 = the window itself).
+
+    Capability parity with the reference's dead-code K/V expansion
+    (MicFormer/models/MICFormer_self.py:53-114), which the deformable-warp
+    sampling superseded (SURVEY.md §2.6). Reference defects NOT replicated:
+    its slot 21 is written twice and slot 20 never (stale zeros,
+    MICFormer_self.py:103-105), it rejects B > 1, and it hard-codes .cuda().
+    Here every slot is a static shifted slice of one padded grid tensor —
+    27 dense views XLA fuses into the stack, no scatter.
+    """
+    B, D, H, W, C = x.shape
+    wd, wh, ww = window_size
+    d, h, w = D // wd, H // wh, W // ww
+    T = wd * wh * ww
+    grid = x.reshape(B, d, wd, h, wh, w, ww, C)
+    grid = grid.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, d, h, w, T, C)
+    grid = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    slots = [
+        grid[:, dz:dz + d, dy:dy + h, dx:dx + w]
+        for dz in range(3) for dy in range(3) for dx in range(3)
+    ]
+    out = jnp.stack(slots, axis=4)              # [B, d, h, w, 27, T, C]
+    return out.reshape(B * d * h * w, 27 * T, C)

@@ -84,3 +84,46 @@ def test_pad_or_crop_shapes(rng):
 def test_pad_batch_to_max_shape():
     assert iu.pad_batch_to_max_shape([(100, 120, 90), (110, 100, 100)]) == (112, 128, 112)
     assert iu.pad_batch_to_max_shape([(16, 16, 16)]) == (16, 16, 16)
+
+
+def test_remove_unwanted_background():
+    x = np.zeros((1, 10, 12, 9), np.float32)
+    x[0, 2:5, 3:8, 1:4] = 1.0
+    out = iu.remove_unwanted_background(x)
+    assert out.shape == (1, 3, 5, 3)
+    assert np.all(out == 1.0)
+
+
+def test_random_crop_identical_and_channel_preserved(rng):
+    g = np.random.default_rng(3)
+    a = rng.standard_normal((2, 12, 14, 10)).astype(np.float32)
+    b = (a > 0).astype(np.float32)
+    ca, cb = iu.random_crop(a, b, min_perc=0.5, max_perc=0.9, rng=g)
+    assert ca.shape == cb.shape
+    assert ca.shape[0] == 2                       # channel axis never cropped
+    assert all(s <= f for s, f in zip(ca.shape[1:], a.shape[1:]))
+    # crops are taken at identical positions: mask relation is preserved
+    assert np.array_equal(cb, (ca > 0).astype(np.float32))
+    with pytest.raises(ValueError):
+        iu.random_crop(a, b[:1])
+
+
+def test_collate_pad_batch_deterministic_and_random():
+    ims = [np.ones((2, 10, 12, 14), np.float32), np.ones((2, 16, 8, 14), np.float32)]
+    lbs = [np.ones((8,) + im.shape[1:], np.uint8) for im in ims]
+    bi, bl = iu.collate_pad_batch(ims, lbs)
+    assert bi.shape == (2, 2, 16, 16, 16) and bl.shape == (2, 8, 16, 16, 16)
+    # deterministic mode left-aligns: original content in the corner
+    assert np.all(bi[0, :, :10, :12, :14] == 1.0) and bi[0, :, 10:].sum() == 0
+    g = np.random.default_rng(0)
+    ri, rl = iu.collate_pad_batch(ims, lbs, rng=g)
+    assert ri.shape == bi.shape
+    assert ri[0].sum() == bi[0].sum()             # padding only moves content
+
+
+def test_pad_batch1_to_compatible_size():
+    x = np.ones((1, 2, 100, 128, 97), np.float32)
+    padded, pads = iu.pad_batch1_to_compatible_size(x)
+    assert padded.shape == (1, 2, 112, 128, 112)
+    assert pads == (12, 0, 15)
+    assert np.all(padded[..., :100, :, :97] == 1.0)

@@ -261,3 +261,26 @@ def test_trilinear_rows_grad_matches_corners(rng):
     gr = grads(warp_ops._trilinear_sample_rows)
     np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), atol=1e-5)
+
+
+def test_window_area_partition_neighborhood():
+    from micformer_tpu.ops.windows import window_area_partition, window_partition
+
+    B, D, H, W, C = 2, 4, 4, 6, 3
+    ws = (2, 2, 2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+    out = np.asarray(window_area_partition(x, ws))
+    d, h, w = D // 2, H // 2, W // 2
+    T = 8
+    assert out.shape == (B * d * h * w, 27 * T, C)
+    wins = np.asarray(window_partition(x, ws)).reshape(B, d * h * w, T, C)
+    area = out.reshape(B, d, h, w, 27, T, C)
+    # slot 13 (dz=dy=dx=1) is the window itself
+    np.testing.assert_array_equal(
+        area[:, :, :, :, 13].reshape(B, d * h * w, T, C), wins)
+    # slot 14 (dx=+1) of window (0,0,0) is window (0,0,1)
+    np.testing.assert_array_equal(
+        area[:, 0, 0, 0, 14], wins.reshape(B, d, h, w, T, C)[:, 0, 0, 1])
+    # out-of-grid neighbors are zero padding (corner window, dz=0 plane)
+    assert np.all(area[:, 0, :, :, 0] == 0)
