@@ -80,6 +80,7 @@ def test_attn_lane_proj_ineligible_falls_back(rng):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(lane))
 
 
+@pytest.mark.slow
 def test_swinblock_lane_major_forward_and_grad_parity(rng):
     x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 48)).astype(np.float32))
     mod = L.SwinBlock3D(48, 3, window_size=(2, 2, 2))
@@ -127,6 +128,7 @@ def test_swinblock_lane_major_shifted_falls_back(rng):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(lane))
 
 
+@pytest.mark.slow
 def test_cross_block_lane_tail_parity(rng):
     """CrossBlock3D norm2+MLP in [C, M] lane-major layout must match the
     spatial path — forward and per-parameter relative gradients."""
@@ -157,6 +159,7 @@ def test_cross_block_lane_tail_parity(rng):
             err_msg="/".join(k))
 
 
+@pytest.mark.slow
 def test_micformer_forward_parity_with_lane_flags(rng):
     """Full-model wiring check: MicFormer forward with both lane flags ON
     must match the default build (f32, small volume)."""

@@ -23,12 +23,14 @@ def test_unet3d_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_mednext_shapes():
     _, _, out = _forward("mednext", shape=(1, 2, 16, 16, 16))
     assert out.shape == (1, 8, 16, 16, 16)
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_mednext_deep_supervision_pyramid():
     _, _, out = _forward("mednext", shape=(1, 2, 16, 16, 16), deep_supervision=True)
     assert isinstance(out, list) and len(out) == 5
@@ -62,6 +64,7 @@ def test_unet3d_jit_grad():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_micformer_fused_head_matches_two_op_path(rng):
     """The composed transposed-conv head must equal ConvTranspose+Conv3^3
     exactly (same params — the trees are identical by construction)."""

@@ -37,6 +37,7 @@ def test_fused_matches_einsum(rng, N, h, T, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_grad_matches_einsum(rng):
     N, h, T, d = 6, 2, 8, 16
     q = rng.normal(size=(N, h, T, d)).astype(np.float32)
@@ -65,6 +66,7 @@ def test_dispatch_predicate():
     assert should_use_fused(48, 16, None, None) is False
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("N,T,h,d", [(20, 8, 3, 16), (300, 8, 2, 8), (7, 4, 1, 16)])
 def test_v2_matches_einsum(rng, N, T, h, d):
     from micformer_tpu.ops.pallas.window_attention_v2 import window_attention_v2
@@ -84,6 +86,7 @@ def test_v2_matches_einsum(rng, N, T, h, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_v2_grad_matches_einsum(rng):
     from micformer_tpu.ops.pallas.window_attention_v2 import window_attention_v2
 

@@ -57,6 +57,7 @@ def test_spatial_sharding_spec():
     assert sh.spec == P(None, None, "space", None, None)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_forward_matches_single_device(rng):
     """Megatron-style head/feature sharding over a 'model' axis (GSPMD
     annotations only): the tensor-parallel forward must match the unsharded
