@@ -68,6 +68,14 @@ WARP_WINDOW_ORDER = os.environ.get("MICFORMER_WARP_WINDOW_ORDER", "0") == "1"
 # are half of all blocks and their LNs otherwise reduce over a C=48 minor
 # dim at 48/128 lane efficiency. Same params; math parity tested.
 CROSS_LANE_TAIL = os.environ.get("MICFORMER_CROSS_LANE_TAIL", "0") == "1"
+# A/B (round 3, lane-major family): offset-net TAIL in [F, M] lane-major
+# layout. After the 27-tap conv (MXU-shaped in channels-last, unchanged) the
+# channels-last tail runs LN over F=16 minor dims (16/128 lanes), exact-erf
+# GELU at the same efficiency, a [N,16]x[16,3] dot whose output minor dim is
+# THREE (3/128 lanes), and a moveaxis to [B,3,D,H,W]. Lane-major: one 4 MB
+# entry transpose, every tail op at full lane width, and the [3, M] output
+# reshapes straight into the coordinate layout the warp wants.
+OFFSET_LANE_TAIL = os.environ.get("MICFORMER_OFFSET_LANE_TAIL", "0") == "1"
 
 
 class CrossBlock3D(nn.Module):
@@ -101,13 +109,28 @@ class CrossBlock3D(nn.Module):
         off = jnp.concatenate([xn, xap], axis=-1)
         off = Conv3x3ViaDot(self.hidden_channels, dtype=self.dtype,
                             name="offset_conv1")(off)
-        off = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="offset_norm")(off)
-        off = nn.gelu(off, approximate=False)
-        off = nn.Conv(3, (1, 1, 1), use_bias=False, dtype=self.dtype,
-                      name="offset_conv2")(off)          # [B, Dp, Hp, Wp, 3]
-
         ref = reference_points(Dp, Hp, Wp, faithful=self.faithful_grid)
-        pos = jnp.moveaxis(off, -1, 1).astype(jnp.float32) + ref  # [B,3,D,H,W]
+        norm_o = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="offset_norm")
+        conv2 = nn.Conv(3, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                        name="offset_conv2")
+        if OFFSET_LANE_TAIL and B * Dp * Hp * Wp >= 1024:
+            from micformer_tpu.models.layers import _lane_layer_norm
+
+            F = off.shape[-1]
+            _ = norm_o(jnp.zeros((1, 1, 1, 1, F), self.dtype))
+            _ = conv2(jnp.zeros((1, 1, 1, 1, F), self.dtype))
+            t = off.reshape(-1, F).T[None]                   # [1, F, M]
+            t = _lane_layer_norm(t, norm_o, 1e-5, self.dtype)
+            t = nn.gelu(t, approximate=False)
+            w2 = conv2.variables["params"]["kernel"].reshape(F, 3).astype(self.dtype)
+            o = jnp.einsum("tfm,fo->tom", t, w2)[0]          # [3, M]
+            off_cm = o.reshape(3, B, Dp, Hp, Wp)
+            pos = jnp.moveaxis(off_cm, 1, 0).astype(jnp.float32) + ref
+        else:
+            off = norm_o(off)
+            off = nn.gelu(off, approximate=False)
+            off = conv2(off)                                 # [B, Dp, Hp, Wp, 3]
+            pos = jnp.moveaxis(off, -1, 1).astype(jnp.float32) + ref  # [B,3,D,H,W]
         # coords stay f32; values ride in the model dtype (bf16 halves the
         # 8-corner gather traffic — the profiled stage-0 hot spot)
         x_wins = window_partition(xn, ws)

@@ -176,3 +176,35 @@ def test_micformer_forward_parity_with_lane_flags(rng):
     finally:
         _restore(prev)
     np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=5e-5)
+
+
+def test_offset_lane_tail_parity(rng):
+    """CrossBlock3D offset-net tail (LN+GELU+1x1 conv) in [F, M] lane-major
+    layout must match the channels-last path — forward and per-parameter
+    relative gradients (the offset params feed the warp coordinates, so this
+    also covers the coords-consuming custom VJP)."""
+    import micformer_tpu.models.micformer as M
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 8, 24)).astype(np.float32))
+    xa = jnp.asarray(rng.normal(size=(1, 8, 16, 8, 24)).astype(np.float32))
+    blk = M.CrossBlock3D(dim=24, num_heads=3)
+    params = blk.init(jax.random.PRNGKey(0), x, xa)
+    prev = M.OFFSET_LANE_TAIL
+    try:
+        M.OFFSET_LANE_TAIL = False
+        base = blk.apply(params, x, xa)
+        g0 = jax.grad(lambda p: jnp.mean(blk.apply(p, x, xa) ** 2))(params)
+        M.OFFSET_LANE_TAIL = True
+        lane = blk.apply(params, x, xa)
+        g1 = jax.grad(lambda p: jnp.mean(blk.apply(p, x, xa) ** 2))(params)
+    finally:
+        M.OFFSET_LANE_TAIL = prev
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=2e-5)
+    from flax.traverse_util import flatten_dict
+
+    f0, f1 = flatten_dict(g0["params"]), flatten_dict(g1["params"])
+    for k in f0:
+        scale = float(np.max(np.abs(np.asarray(f0[k])))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(f0[k]) / scale, np.asarray(f1[k]) / scale, atol=1e-4,
+            err_msg="/".join(k))
