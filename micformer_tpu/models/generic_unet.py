@@ -97,7 +97,7 @@ class GenericUNet(nn.Module):
             if self.deep_supervision or j == 0:
                 seg = nn.Conv(self.num_classes, (1,) * len(up_k), padding="VALID",
                               dtype=self.dtype, name=f"seg{j}")(x)
-                seg_outputs.append(to_channels_first(seg.astype(jnp.float32)))
+                seg_outputs.append(to_channels_first(seg).astype(jnp.float32))
 
         if self.deep_supervision:
             # highest resolution first (MultipleOutputLoss2 weighting order)

@@ -152,9 +152,9 @@ class MedNeXt(nn.Module):
                 ds_out.append(nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                                       name=f"ds{3 - s}")(x))
         logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(x)
-        logits = to_channels_first(logits.astype(jnp.float32))
+        logits = to_channels_first(logits).astype(jnp.float32)
         if self.deep_supervision:
-            pyramid = [logits] + [to_channels_first(d.astype(jnp.float32))
+            pyramid = [logits] + [to_channels_first(d).astype(jnp.float32)
                                   for d in reversed(ds_out)]
             return pyramid
         return logits

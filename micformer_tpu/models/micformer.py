@@ -68,14 +68,16 @@ WARP_WINDOW_ORDER = os.environ.get("MICFORMER_WARP_WINDOW_ORDER", "0") == "1"
 # are half of all blocks and their LNs otherwise reduce over a C=48 minor
 # dim at 48/128 lane efficiency. Same params; math parity tested.
 CROSS_LANE_TAIL = os.environ.get("MICFORMER_CROSS_LANE_TAIL", "0") == "1"
-# A/B (round 3, lane-major family): offset-net TAIL in [F, M] lane-major
-# layout. After the 27-tap conv (MXU-shaped in channels-last, unchanged) the
-# channels-last tail runs LN over F=16 minor dims (16/128 lanes), exact-erf
-# GELU at the same efficiency, a [N,16]x[16,3] dot whose output minor dim is
-# THREE (3/128 lanes), and a moveaxis to [B,3,D,H,W]. Lane-major: one 4 MB
-# entry transpose, every tail op at full lane width, and the [3, M] output
-# reshapes straight into the coordinate layout the warp wants.
-OFFSET_LANE_TAIL = os.environ.get("MICFORMER_OFFSET_LANE_TAIL", "0") == "1"
+# Round-3 A/B WINNER (+1.2%, reproduced across two same-session pairs:
+# 5.73 vs base 5.66 vol/s, p50 0.1973/0.1985 vs 0.2001/0.1995): offset-net
+# TAIL in [F, M] lane-major layout. After the 27-tap conv (MXU-shaped in
+# channels-last, unchanged) the channels-last tail runs LN over F=16 minor
+# dims (16/128 lanes), exact-erf GELU at the same efficiency, a
+# [N,16]x[16,3] dot whose output minor dim is THREE (3/128 lanes), and a
+# moveaxis to [B,3,D,H,W]. Lane-major: one 4 MB entry transpose, every tail
+# op at full lane width, and the [3, M] output reshapes straight into the
+# coordinate layout the warp wants. Default ON; =0 falls back.
+OFFSET_LANE_TAIL = os.environ.get("MICFORMER_OFFSET_LANE_TAIL", "1") == "1"
 
 
 class CrossBlock3D(nn.Module):
@@ -362,7 +364,7 @@ class MicFormer(nn.Module):
             out = out + (field + b2.astype(jnp.float32)).astype(self.dtype)[None]
         else:
             out = oc(rpe(out))
-        return to_channels_first(out.astype(jnp.float32))
+        return to_channels_first(out).astype(jnp.float32)
 
 
 @registry.register("micformer", num_classes=8, embed_dim=48)

@@ -192,10 +192,10 @@ class NnFormer(nn.Module):
         if self.deep_supervision:
             # highest resolution first — the order MultipleOutputLoss2's
             # 2^-i weights assume (tested in tests/test_losses_extended.py)
-            return [to_channels_first(head(outs[-1 - j], f"head{j}").astype(jnp.float32))
+            return [to_channels_first(head(outs[-1 - j], f"head{j}")).astype(jnp.float32)
                     for j in range(len(outs))]
         logits = head(outs[-1], "head0")
-        return to_channels_first(logits.astype(jnp.float32))
+        return to_channels_first(logits).astype(jnp.float32)
 
 
 @registry.register("nnformer", num_classes=8, embed_dim=96)

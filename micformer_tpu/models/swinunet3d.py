@@ -195,7 +195,7 @@ class SwinUnet3D(nn.Module):
         out = ChannelNorm(dtype=self.dtype)(out)
         out = PReLU()(out)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(out)
-        return to_channels_first(out.astype(jnp.float32))
+        return to_channels_first(out).astype(jnp.float32)
 
 
 @registry.register("swinunet3d", num_classes=8)

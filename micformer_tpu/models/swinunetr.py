@@ -105,7 +105,7 @@ class SwinUNETR(nn.Module):
         d = UpBlock(F, dtype=self.dtype, name="decoder2")(d, enc1)
         d = UpBlock(F, dtype=self.dtype, name="decoder1")(d, enc0)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(d)
-        return to_channels_first(out.astype(jnp.float32))
+        return to_channels_first(out).astype(jnp.float32)
 
 
 @registry.register("swinunetr", num_classes=8, feature_size=12)

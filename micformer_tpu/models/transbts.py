@@ -150,7 +150,7 @@ class TransBTS(nn.Module):
             h = _res_de_block(h, self.dtype, f"deblock{j}")
 
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="endconv")(h)
-        out = to_channels_first(out.astype(jnp.float32))
+        out = to_channels_first(out).astype(jnp.float32)
         if self.softmax_output:
             out = nn.softmax(out, axis=1)
         return out

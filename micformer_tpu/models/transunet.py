@@ -122,7 +122,7 @@ class TransUNet(nn.Module):
             x = DoubleConv(c, dtype=self.dtype, name=f"dec{j}")(x)
 
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
-        return to_channels_first(out.astype(jnp.float32))
+        return to_channels_first(out).astype(jnp.float32)
 
 
 class HalfUNet(nn.Module):
@@ -160,7 +160,7 @@ class HalfUNet(nn.Module):
                     else chs[0])
             x = DoubleConv(cout, dtype=self.dtype, name=f"outconv{k}")(x)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
-        return to_channels_first(out.astype(jnp.float32))
+        return to_channels_first(out).astype(jnp.float32)
 
 
 @registry.register("transunet", num_classes=8)

@@ -44,7 +44,7 @@ class UNet3D(nn.Module):
             x = jnp.concatenate([x, skips[i]], axis=-1)
             x = ConvNormAct(chs[i], kernel=3, dtype=self.dtype, name=f"dec{i}")(x)
         x = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
-        return to_channels_first(x.astype(jnp.float32))
+        return to_channels_first(x).astype(jnp.float32)
 
 
 @registry.register("unet3d", num_classes=8, channels=(4, 8, 16, 32, 64))

@@ -224,7 +224,7 @@ class VTUNet(nn.Module):
                              dtype=self.dtype, name="final_expand")(x)
         x = nn.Conv(self.num_classes, (1, 1, 1), use_bias=False,
                     dtype=self.dtype, name="head")(x)
-        return to_channels_first(x.astype(jnp.float32))
+        return to_channels_first(x).astype(jnp.float32)
 
 
 @registry.register("vtunet", num_classes=8, embed_dim=96)
