@@ -56,6 +56,33 @@ ATTN_LANE_PROJ = _os.environ.get("MICFORMER_ATTN_LANE_PROJ", "1") == "1"
 # blocks: lattice-transpose [B,D,H,W,C] -> [T,C,N] once per block; LN, qkv,
 # attention, proj, MLP and both residual adds all run lane-major.
 BLOCK_LANE_MAJOR = _os.environ.get("MICFORMER_BLOCK_LANE_MAJOR", "0") == "1"
+# A/B (round 3): channels-last LayerNorm APPLY in packed bf16. Stats stay
+# f32 (flax fast-variance), but the normalize+scale+bias runs as bf16
+# (x - m)*r*g + b — the VPU packs 2 bf16 per lane, halving the per-element
+# work of the 16 stage-0 LN fusions. bf16-only (f32 models keep the flax
+# module verbatim — torch-transplant parity runs f32 and is bit-unaffected).
+# A/B verdict: NEUTRAL (5.736 vs base 5.7325 vol/s, p50 0.1980 vs 0.1966) —
+# XLA already fuses the LN apply into its neighbors, so halving VPU
+# per-element work doesn't move wall time. Kept opt-in; do not retry.
+LN_BF16_APPLY = _os.environ.get("MICFORMER_LN_BF16_APPLY", "0") == "1"
+
+
+def apply_layer_norm(ln: nn.LayerNorm, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a flax LayerNorm over the minor C axis of a channels-last
+    tensor. Flag-off or non-bf16 input: the module verbatim. With
+    MICFORMER_LN_BF16_APPLY=1 on bf16 inputs: f32 stats, bf16 apply."""
+    if not (LN_BF16_APPLY and x.dtype == jnp.bfloat16):
+        return ln(x)
+    _ = ln(jnp.zeros((1, 1, x.shape[-1]), x.dtype))  # materialize params
+    p = ln.variables["params"]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
+    r = (jax.lax.rsqrt(var + ln.epsilon)).astype(jnp.bfloat16)
+    m = mean.astype(jnp.bfloat16)
+    g = p["scale"].astype(jnp.bfloat16)
+    b = p["bias"].astype(jnp.bfloat16)
+    return (x - m) * r * g + b
 
 
 def _dense_lane(xt: jnp.ndarray, mod: nn.Dense, dt) -> jnp.ndarray:
@@ -290,7 +317,7 @@ class SwinBlock3D(nn.Module):
             ws, ss = adjust_window_shift((D, H, W), self.window_size, self.shift_size)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = apply_layer_norm(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype), x)
         x = pad_to_multiple(x, ws)
         _, Dp, Hp, Wp, _ = x.shape
 
@@ -318,7 +345,7 @@ class SwinBlock3D(nn.Module):
         x = x[:, :D, :H, :W]
 
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        y = apply_layer_norm(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype), x)
         y = Mlp(int(C * self.mlp_ratio), C, self.dropout, dtype=self.dtype)(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 

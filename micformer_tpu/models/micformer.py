@@ -51,6 +51,7 @@ from micformer_tpu.models.layers import (
     pad_to_multiple,
     to_channels_last,
     to_channels_first,
+    apply_layer_norm,
 )
 from micformer_tpu.ops.windows import window_partition, window_reverse, adjust_window_shift
 from micformer_tpu.ops.warp import (
@@ -100,7 +101,8 @@ class CrossBlock3D(nn.Module):
         ws = adjust_window_shift((D, H, W), self.window_size)
 
         shortcut = x
-        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        xn = apply_layer_norm(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1"), x)
         xn = pad_to_multiple(xn, ws)
         xap = pad_to_multiple(xa, ws)
         _, Dp, Hp, Wp, _ = xn.shape
@@ -177,7 +179,8 @@ class CrossBlock3D(nn.Module):
             ot = jnp.einsum("tfn,fc->tcn", ht, w1) + b1[None, :, None]
             y = ot[0].T.reshape(B, D, H, W, C)
         else:
-            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            y = apply_layer_norm(
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2"), x)
             y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 

@@ -208,3 +208,43 @@ def test_offset_lane_tail_parity(rng):
         np.testing.assert_allclose(
             np.asarray(f0[k]) / scale, np.asarray(f1[k]) / scale, atol=1e-4,
             err_msg="/".join(k))
+
+
+def test_ln_bf16_apply_parity(rng):
+    """MICFORMER_LN_BF16_APPLY: bf16-apply LayerNorm must (a) keep the flax
+    param tree, (b) match the flax bf16 LN within bf16 quantization noise,
+    and (c) be a no-op on f32 inputs (the torch-transplant parity dtype)."""
+    import flax.linen as nn
+
+    x32 = jnp.asarray(rng.normal(size=(4, 4, 4, 4, 48)).astype(np.float32))
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return L.apply_layer_norm(
+                nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16), x)
+
+    prev = L.LN_BF16_APPLY
+    try:
+        L.LN_BF16_APPLY = False
+        m = Wrap()
+        params = m.init(jax.random.PRNGKey(0), x32.astype(jnp.bfloat16))
+        base = m.apply(params, x32.astype(jnp.bfloat16))
+        L.LN_BF16_APPLY = True
+        params_on = m.init(jax.random.PRNGKey(0), x32.astype(jnp.bfloat16))
+        got = m.apply(params_on, x32.astype(jnp.bfloat16))
+        # param tree unchanged by the flag
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_on)
+        np.testing.assert_allclose(
+            np.asarray(base, np.float32), np.asarray(got, np.float32), atol=0.05)
+        # grads flow and roughly agree
+        g0 = jax.grad(lambda p: jnp.mean(m.apply(p, x32.astype(jnp.bfloat16)).astype(jnp.float32) ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree_util.tree_leaves(g0))
+        # f32 input: flag is inert, bit-identical to the flax module
+        f_on = m.apply(params, x32)
+        L.LN_BF16_APPLY = False
+        f_off = m.apply(params, x32)
+        np.testing.assert_array_equal(np.asarray(f_on), np.asarray(f_off))
+    finally:
+        L.LN_BF16_APPLY = prev
