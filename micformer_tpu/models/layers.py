@@ -65,6 +65,15 @@ BLOCK_LANE_MAJOR = _os.environ.get("MICFORMER_BLOCK_LANE_MAJOR", "0") == "1"
 # XLA already fuses the LN apply into its neighbors, so halving VPU
 # per-element work doesn't move wall time. Kept opt-in; do not retry.
 LN_BF16_APPLY = _os.environ.get("MICFORMER_LN_BF16_APPLY", "0") == "1"
+# Minimum window count N for the lane-major attention path (N rides the
+# 128-lane axis; below ~one tile the entry transposes can't pay off). The
+# round-3 train profile showed the deep stages (N=128/16 at b2 128³) falling
+# back to the batched path and emitting 408 tiny [N,8,h,16] per-operand
+# moveaxis copies per call. A/B WINNER at 128 (default): train step 161.6 ->
+# 158.2 ms/call; with CONV3_STACK_BWD combined, bench 5.73 -> 6.10 vol/s
+# (p50 0.1966 -> 0.1868) — stage-2 (N=256) inference attention joins the
+# lane path. One full lane tile (128) is the break-even point.
+LANE_MIN_N = int(_os.environ.get("MICFORMER_LANE_MIN_N", "128"))
 
 
 def apply_layer_norm(ln: nn.LayerNorm, x: jnp.ndarray) -> jnp.ndarray:
@@ -189,7 +198,7 @@ class WindowAttention3D(nn.Module):
         h = self.num_heads
         inner = (self.head_dim * h) if self.head_dim else self.dim
         if (ATTN_LANE_PROJ and not self.rel_pos_bias and mask is None
-                and window_perm is None and T <= 16 and N >= 1024):
+                and window_perm is None and T <= 16 and N >= LANE_MIN_N):
             return self._lane_path(x, context, lane_in=False)
         if self.cross or context is not None:
             ctx = x if context is None else context
@@ -307,7 +316,7 @@ class SwinBlock3D(nn.Module):
             T_l = ws_l[0] * ws_l[1] * ws_l[2]
             if (not any(ss_l) and D % ws_l[0] == 0 and H % ws_l[1] == 0
                     and W % ws_l[2] == 0 and T_l <= 16
-                    and B * (D // ws_l[0]) * (H // ws_l[1]) * (W // ws_l[2]) >= 1024):
+                    and B * (D // ws_l[0]) * (H // ws_l[1]) * (W // ws_l[2]) >= LANE_MIN_N):
                 return self._lane_block(x, ws_l, deterministic)
         if self.swinunet_scramble:
             # the reference SwinUnet3D has no window clamp (it asserts input
@@ -581,6 +590,61 @@ class ConvNormAct(nn.Module):
         return x
 
 
+# A/B WINNER (round 3, default ON; train step 161.6 -> 152.3 ms/call alone,
+# 148.8 combined with LANE_MIN_N=128): consolidated backward for the
+# 27-shifted-dot conv. The autodiff backward of the tap loop emits, per conv,
+# 27 tiny [C,F] weight-grad partials plus 27 read-modify-writes of the full
+# [B,D,H,W,C] dx accumulator (~17 ms/call across the 8 cross blocks on the
+# b2/128³ train profile). With G[p, i*F+f] = g_pad[p + (2-δi), f] — one
+# [B,D,H,W,27F] stack of the NARROW (F=16) output gradient — both grads
+# become single MXU matmuls:  dx = G @ W_flat^T  and  dw = x^T @ G.
+CONV3_STACK_BWD = _os.environ.get("MICFORMER_CONV3_STACK_BWD", "1") == "1"
+
+
+def _conv3_taps(xp, D, H, W):
+    """The 27 shifted [B,D,H,W,C] views of a pad-1 tensor, tap-major."""
+    return [xp[:, dz:dz + D, dy:dy + H, dx:dx + W, :]
+            for dz in range(3) for dy in range(3) for dx in range(3)]
+
+
+@jax.custom_vjp
+def conv3_dots(x, w):
+    """3³ SAME conv as 27 shifted matmuls: x [B,D,H,W,C] · w [27,C,F]."""
+    B, D, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for i, patch in enumerate(_conv3_taps(xp, D, H, W)):
+        term = jnp.einsum("bdhwc,cf->bdhwf", patch, w[i])
+        out = term if out is None else out + term
+    return out
+
+
+def _conv3_dots_fwd(x, w):
+    return conv3_dots(x, w), (x, w)
+
+
+def _conv3_dots_bwd(res, g):
+    x, w = res
+    B, D, H, W, C = x.shape
+    F = w.shape[-1]
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # reverse-shifted taps: dx[p] = Σ_i g_pad[p + (2-δi)] @ w[i]^T, so stack
+    # tap i at slice start (2-δ) and contract once.
+    slabs = [gp[:, 2 - dz:2 - dz + D, 2 - dy:2 - dy + H, 2 - dx:2 - dx + W, :]
+             for dz in range(3) for dy in range(3) for dx in range(3)]
+    G = jnp.concatenate(slabs, axis=-1)                      # [B,D,H,W,27F]
+    w_flat = jnp.transpose(w, (0, 2, 1)).reshape(27 * F, C)  # [27F, C]
+    dx = jnp.einsum("bdhwk,kc->bdhwc", G, w_flat)
+    # dw[i,c,f] = Σ_p x[p,c] · G[p, i*F+f]; f32 accumulation, one rounding.
+    dw_flat = jnp.einsum("bdhwk,bdhwc->kc", G, x,
+                         preferred_element_type=jnp.float32)  # [27F, C]
+    dw = dw_flat.reshape(27, F, C).transpose(0, 2, 1).astype(w.dtype)
+    return dx.astype(x.dtype), dw
+
+
+conv3_dots.defvjp(_conv3_dots_fwd, _conv3_dots_bwd)
+
+
 class Conv3x3ViaDot(nn.Module):
     """3³ 'SAME' conv expressed as 27 shifted matmuls.
 
@@ -620,6 +684,8 @@ class Conv3x3ViaDot(nn.Module):
                                   i * self.features:(i + 1) * self.features]
                         out = term if out is None else out + term
                         i += 1
+        elif CONV3_STACK_BWD:
+            out = conv3_dots(x.astype(self.dtype), w.astype(self.dtype))
         else:
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
             out = None

@@ -248,3 +248,45 @@ def test_ln_bf16_apply_parity(rng):
         np.testing.assert_array_equal(np.asarray(f_on), np.asarray(f_off))
     finally:
         L.LN_BF16_APPLY = prev
+
+
+def test_conv3_stack_bwd_parity(rng):
+    """MICFORMER_CONV3_STACK_BWD: the consolidated-backward conv must match
+    the tap-loop autodiff — forward bit-equal (same 27-dot HLO), dx/dw/db
+    within accumulation-order noise in f32 and bf16."""
+    x32 = rng.normal(size=(2, 6, 5, 7, 12)).astype(np.float32)
+
+    def run(stack, dt):
+        prev = L.CONV3_STACK_BWD
+        L.CONV3_STACK_BWD = stack
+        try:
+            mod = L.Conv3x3ViaDot(5, dtype=dt)
+            x = jnp.asarray(x32, dt)
+            params = mod.init(jax.random.PRNGKey(3), x)
+
+            def loss(p, xx):
+                return jnp.mean(mod.apply(p, xx).astype(jnp.float32) ** 2)
+
+            fwd = mod.apply(params, x)
+            (gp, gx) = jax.grad(loss, argnums=(0, 1))(params, x)
+            return fwd, gp, gx
+        finally:
+            L.CONV3_STACK_BWD = prev
+
+    for dt, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.02)):
+        f0, gp0, gx0 = run(False, dt)
+        f1, gp1, gx1 = run(True, dt)
+        np.testing.assert_allclose(np.asarray(f0, np.float32),
+                                   np.asarray(f1, np.float32), atol=atol)
+        np.testing.assert_allclose(np.asarray(gx0, np.float32),
+                                   np.asarray(gx1, np.float32), atol=atol)
+        flat0 = jax.tree_util.tree_leaves_with_path(gp0)
+        flat1 = dict((jax.tree_util.keystr(k), v)
+                     for k, v in jax.tree_util.tree_leaves_with_path(gp1))
+        for k, v0 in flat0:
+            v1 = flat1[jax.tree_util.keystr(k)]
+            scale = max(1.0, float(np.max(np.abs(np.asarray(v0, np.float32)))))
+            np.testing.assert_allclose(
+                np.asarray(v0, np.float32) / scale,
+                np.asarray(v1, np.float32) / scale,
+                atol=atol, err_msg=f"{jax.tree_util.keystr(k)} dt={dt}")
