@@ -49,7 +49,6 @@ from micformer_tpu.models.layers import (
     PatchMergingConv,
     PatchExpandConv,
     pad_to_multiple,
-    to_channels_last,
     to_channels_first,
     apply_layer_norm,
 )
@@ -236,19 +235,20 @@ def _composed_head_kernel(k1, k2):
     The fused form skips the full-resolution O-channel intermediate — the
     profiled ~12% tail of the forward (layout copies + a second 128^3 pass).
     """
-    p, i_ch = k1.shape[0], k1.shape[3]
-    # Kc[a] = sum_j k1[a-j] @ k2[j] is itself a convolution: correlate the
-    # padded k1 (I as batch, O as channels) with the spatially FLIPPED k2 in
-    # ONE lax.conv — the 27-term einsum loop this replaces emitted dozens of
-    # small serialized ops per forward call (profiled round 3).
+    p = k1.shape[0]
+    # Kc[a] = sum_j k1[a-j] @ k2[j]: stack the 27 shifted [p+2]³ windows of
+    # the padded k1 and contract in ONE einsum. (History: a 27-term python
+    # loop emitted dozens of serialized small ops; a lax.conv formulation of
+    # the correlation compiled to a 2.6 ms/call micro-conv — tiny convs are
+    # pathological on this stack. The stack-einsum is a single MXU dot.)
     k1p = jnp.pad(k1.astype(jnp.float32),
                   ((2, 2), (2, 2), (2, 2), (0, 0), (0, 0)))
-    lhs = jnp.moveaxis(k1p, 3, 0)                       # [I, p+4, p+4, p+4, O]
-    rhs = k2[::-1, ::-1, ::-1].astype(jnp.float32)      # flip -> conv == corr
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1, 1), "VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # [I, p+2, p+2, p+2, C]
-    return jnp.moveaxis(out, 0, 3)
+    q = p + 2
+    slabs = [k1p[2 - jz:2 - jz + q, 2 - jy:2 - jy + q, 2 - jx:2 - jx + q]
+             for jz in range(3) for jy in range(3) for jx in range(3)]
+    stack = jnp.stack(slabs)                            # [27, q, q, q, I, O]
+    return jnp.einsum("jzyxio,joc->zyxic", stack,
+                      k2.astype(jnp.float32).reshape(27, *k2.shape[3:]))
 
 
 def _composed_head_bias_field(b1, k2, out_spatial):
@@ -285,8 +285,14 @@ class MicFormer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = to_channels_last(x)
-        moving, fixed = x[..., :1], x[..., 1:2]   # CT, MR (Head :1050)
+        # CT, MR split (Head :1050). Slice on the channels-FIRST major axis,
+        # then relabel to NDHWC for free (a singleton channel reshape moves no
+        # data). The moveaxis-then-minor-slice form relayouts the full volume
+        # to interleave the modalities and then de-interleaves them again —
+        # two pathological [B,D,H,W,1] strided copies on the round-3 profile.
+        B_, _, D_, H_, W_ = x.shape
+        moving = x[:, 0:1].reshape(B_, D_, H_, W_, 1)
+        fixed = x[:, 1:2].reshape(B_, D_, H_, W_, 1)
 
         # shared patch embed, patch_norm=False (:934-936)
         embed = PatchEmbed3D(self.embed_dim, self.patch_size, use_norm=False,

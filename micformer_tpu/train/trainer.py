@@ -159,6 +159,14 @@ def _make_tx(cfg: TrainConfig):
 
 class Trainer:
     def __init__(self, model, cfg: TrainConfig, mesh=None):
+        # Training-profile layout defaults: the space-to-depth matmul patch
+        # embed wins −4.8% on the train step but loses −3.4% on the serving
+        # bench (benchmarks/RESULTS.md round-3 ledger), so the module default
+        # stays conv and the Trainer opts in — env var still wins either way.
+        if "MICFORMER_EMBED_VIA_DOT" not in os.environ:
+            from micformer_tpu.models import layers as _layers
+
+            _layers.EMBED_VIA_DOT = True
         self.model = model
         self.cfg = cfg
         self.mesh = mesh

@@ -290,3 +290,39 @@ def test_conv3_stack_bwd_parity(rng):
                 np.asarray(v0, np.float32) / scale,
                 np.asarray(v1, np.float32) / scale,
                 atol=atol, err_msg=f"{jax.tree_util.keystr(k)} dt={dt}")
+
+
+def test_embed_via_dot_parity(rng):
+    """MICFORMER_EMBED_VIA_DOT: the space-to-depth matmul embed must match
+    the k=s=patch conv — same param tree, forward + grads."""
+    x32 = rng.normal(size=(2, 8, 8, 12, 2)).astype(np.float32)
+
+    def run(flag, dt, atol):
+        prev = L.EMBED_VIA_DOT
+        L.EMBED_VIA_DOT = flag
+        try:
+            mod = L.PatchEmbed3D(10, (4, 4, 4), use_norm=True, dtype=dt)
+            x = jnp.asarray(x32, dt)
+            params = mod.init(jax.random.PRNGKey(5), x)
+            fwd = mod.apply(params, x)
+            g = jax.grad(lambda p: jnp.mean(
+                mod.apply(p, x).astype(jnp.float32) ** 2))(params)
+            return params, fwd, g
+        finally:
+            L.EMBED_VIA_DOT = prev
+
+    for dt, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.02)):
+        p0, f0, g0 = run(False, dt, atol)
+        p1, f1, g1 = run(True, dt, atol)
+        assert (jax.tree_util.tree_structure(p0)
+                == jax.tree_util.tree_structure(p1))
+        np.testing.assert_allclose(np.asarray(f0, np.float32),
+                                   np.asarray(f1, np.float32), atol=atol)
+        for (k, v0), (_, v1) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            scale = max(1.0, float(np.max(np.abs(np.asarray(v0, np.float32)))))
+            np.testing.assert_allclose(
+                np.asarray(v0, np.float32) / scale,
+                np.asarray(v1, np.float32) / scale, atol=atol,
+                err_msg=f"{jax.tree_util.keystr(k)} dt={dt}")
