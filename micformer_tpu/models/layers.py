@@ -76,10 +76,39 @@ LN_BF16_APPLY = _os.environ.get("MICFORMER_LN_BF16_APPLY", "0") == "1"
 LANE_MIN_N = int(_os.environ.get("MICFORMER_LANE_MIN_N", "128"))
 
 
+# A/B (round 3): LayerNorm channel stats as MXU ones-dots. Reducing the
+# minor (lane) C=48 axis is a cross-lane VPU reduce at ~46 GB/s effective on
+# the round-3 profile (16 standalone convert_reduce fusions per forward);
+# contracting with a ones [C,1] vector instead rides the MXU at bandwidth.
+# Σx is exact (bf16→f32 is exact, f32 accumulation); Σx² carries one bf16
+# rounding of the square — bf16-gated, below the output quantization.
+# A/B verdict: NEUTRAL (6.1072 vs 6.1035 vol/s, p50 0.1857 vs 0.1860) —
+# like LN_BF16_APPLY, the LN work overlaps adjacent compute and is not on
+# the critical path. Kept opt-in; the LN family is closed, do not retry.
+LN_STATS_VIA_DOT = _os.environ.get("MICFORMER_LN_STATS_VIA_DOT", "0") == "1"
+
+
 def apply_layer_norm(ln: nn.LayerNorm, x: jnp.ndarray) -> jnp.ndarray:
     """Apply a flax LayerNorm over the minor C axis of a channels-last
     tensor. Flag-off or non-bf16 input: the module verbatim. With
-    MICFORMER_LN_BF16_APPLY=1 on bf16 inputs: f32 stats, bf16 apply."""
+    MICFORMER_LN_BF16_APPLY=1 on bf16 inputs: f32 stats, bf16 apply. With
+    MICFORMER_LN_STATS_VIA_DOT=1 on bf16 inputs: MXU ones-dot stats, flax
+    f32 normalize/scale/bias apply."""
+    if LN_STATS_VIA_DOT and x.dtype == jnp.bfloat16:
+        C = x.shape[-1]
+        _ = ln(jnp.zeros((1, 1, C), x.dtype))  # materialize params
+        p = ln.variables["params"]
+        ones = jnp.ones((C, 1), jnp.bfloat16)
+        s = jnp.einsum("...c,cs->...s", x, ones,
+                       preferred_element_type=jnp.float32)
+        x2 = jnp.square(x.astype(jnp.float32)).astype(jnp.bfloat16)
+        s2 = jnp.einsum("...c,cs->...s", x2, ones,
+                        preferred_element_type=jnp.float32)
+        mean = s / C
+        var = jnp.maximum(s2 / C - mean * mean, 0.0)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + ln.epsilon)
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
     if not (LN_BF16_APPLY and x.dtype == jnp.bfloat16):
         return ln(x)
     _ = ln(jnp.zeros((1, 1, x.shape[-1]), x.dtype))  # materialize params

@@ -326,3 +326,44 @@ def test_embed_via_dot_parity(rng):
                 np.asarray(v0, np.float32) / scale,
                 np.asarray(v1, np.float32) / scale, atol=atol,
                 err_msg=f"{jax.tree_util.keystr(k)} dt={dt}")
+
+
+def test_ln_stats_via_dot_parity(rng):
+    """MICFORMER_LN_STATS_VIA_DOT: MXU ones-dot LN stats must match the flax
+    bf16 LN within bf16 quantization noise, keep the param tree, and stay
+    inert on f32 inputs."""
+    import flax.linen as nn
+
+    x32 = rng.normal(size=(4, 4, 4, 4, 48)).astype(np.float32)
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return L.apply_layer_norm(
+                nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16), x)
+
+    prev = L.LN_STATS_VIA_DOT
+    try:
+        m = Wrap()
+        xb = jnp.asarray(x32, jnp.bfloat16)
+        L.LN_STATS_VIA_DOT = False
+        params = m.init(jax.random.PRNGKey(0), xb)
+        base = m.apply(params, xb)
+        L.LN_STATS_VIA_DOT = True
+        params_on = m.init(jax.random.PRNGKey(0), xb)
+        got = m.apply(params_on, xb)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_on))
+        np.testing.assert_allclose(np.asarray(base, np.float32),
+                                   np.asarray(got, np.float32), atol=0.05)
+        g = jax.grad(lambda p: jnp.mean(
+            m.apply(p, xb).astype(jnp.float32) ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(v)))
+                   for v in jax.tree_util.tree_leaves(g))
+        # f32 input: flag inert, bit-identical to the flax module
+        f_on = m.apply(params, jnp.asarray(x32))
+        L.LN_STATS_VIA_DOT = False
+        f_off = m.apply(params, jnp.asarray(x32))
+        np.testing.assert_array_equal(np.asarray(f_on), np.asarray(f_off))
+    finally:
+        L.LN_STATS_VIA_DOT = prev
