@@ -59,6 +59,17 @@ ROW_GATHER = os.environ.get("MICFORMER_WARP_ROW_GATHER", "0") == "1"
 # shifted slice-adds (the concat/pad transposes). The corner scatters'
 # fusions were 36% of the whole train step; the row scatter is 9%.
 BWD_ROW_GATHER = os.environ.get("MICFORMER_WARP_BWD_ROW_GATHER", "1") == "1"
+# A/B WINNER (round 3, default ON; train step 142.2 -> 138.3 ms/call, b2
+# 128³ bf16): direct backward from SAVED forward blocks. The row-gather
+# backward obtains its transpose via jax.vjp over the row forward, which
+# re-runs that forward in the backward pass — rebuilding the [B,DHW,8C]
+# concat source per warp (with the row scatters, ~10% of the train step).
+# Saving the forward's gathered [B,N,2,2,2,C] blocks as the residual lets
+# the backward skip the rebuild: d_coords = autodiff of the weight math with
+# blocks constant (gather indices are piecewise-constant in coords), d_src =
+# one row scatter-add + 8 shifted fold slice-adds. Costs ~4x the residual
+# memory of src per warp (blocks vs src).
+BWD_SAVED_BLOCKS = os.environ.get("MICFORMER_WARP_BWD_SAVED_BLOCKS", "1") == "1"
 
 
 def _axis_pair_weights(c0, frac, size):
@@ -79,12 +90,15 @@ def _axis_pair_weights(c0, frac, size):
     return f0, f1
 
 
-def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray,
+                            return_blocks: bool = False):
     """trilinear_sample via ONE gather of [2,2,2,C] blocks per output point.
 
     Equivalent math to the 8-corner form: fetch the 2x2x2 neighborhood at
     clamped starts, shift the per-axis lerp weights by the clamp delta
     (zero-padding parity preserved — out-of-range corners get zero weight).
+    With return_blocks=True also returns the gathered [B,N,2,2,2,C] blocks
+    (residual for the saved-blocks backward).
     """
     B, D, H, W, C = src.shape
     cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
@@ -165,7 +179,10 @@ def _trilinear_sample_block(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
         w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
              * wx[:, :, None, None, :])                    # [B, N, 2, 2, 2]
         out = jnp.sum(blocks * w[..., None], axis=(2, 3, 4))  # [B, N, C]
-    return out.reshape((B,) + out_spatial + (C,))
+    out = out.reshape((B,) + out_spatial + (C,))
+    if return_blocks:
+        return out, blocks
+    return out
 
 
 def _trilinear_sample_rows(src: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -250,10 +267,89 @@ def _trilinear_block_with_corner_grad(src, coords):
 
 
 def _tri_fwd(src, coords):
+    if BWD_SAVED_BLOCKS and not ROW_GATHER:
+        out, blocks = _trilinear_sample_block(src, coords, return_blocks=True)
+        # src rides along for shape/dtype only (its values are unused in the
+        # backward — the whole point is that blocks already hold the fetch).
+        return out, (coords, blocks, src)
     return _trilinear_sample_block(src, coords), (src, coords)
 
 
+def _weights8(coords, dims):
+    """The [B, N, 2, 2, 2] clamp-shifted lerp weight tensor and the flat
+    clamped start index [B, N] — the exact weight math of the block/row
+    forward forms (differentiable in coords; floor/clip are constant)."""
+    B, D, H, W = dims
+    cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
+    N = int(np.prod(cz.shape[1:])) if cz.ndim > 1 else 1
+    z0 = jnp.floor(cz)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fz, fy, fx = cz - z0, cy - y0, cx - x0
+    z0 = jax.lax.stop_gradient(z0).astype(jnp.int32).reshape(B, N)
+    y0 = jax.lax.stop_gradient(y0).astype(jnp.int32).reshape(B, N)
+    x0 = jax.lax.stop_gradient(x0).astype(jnp.int32).reshape(B, N)
+    wz0, wz1 = _axis_pair_weights(z0, fz.reshape(B, N), D)
+    wy0, wy1 = _axis_pair_weights(y0, fy.reshape(B, N), H)
+    wx0, wx1 = _axis_pair_weights(x0, fx.reshape(B, N), W)
+    wz = jnp.stack([wz0, wz1], -1)
+    wy = jnp.stack([wy0, wy1], -1)
+    wx = jnp.stack([wx0, wx1], -1)
+    w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+         * wx[:, :, None, None, :])                       # [B, N, 2, 2, 2]
+    zc = jnp.clip(z0, 0, D - 2)
+    yc = jnp.clip(y0, 0, H - 2)
+    xc = jnp.clip(x0, 0, W - 2)
+    flat_idx = (zc * H + yc) * W + xc                     # [B, N]
+    return w, flat_idx
+
+
+def _tri_bwd_saved_blocks(res, g):
+    """Direct backward from the saved forward blocks: no forward recompute.
+
+    d_coords: autodiff of the weight math with blocks held constant — the
+    gather indices are piecewise-constant in coords, so this equals the full
+    autodiff gradient. d_src: ONE row scatter-add of the 8C-wide per-point
+    gradient rows + 8 dense shifted slice-adds folding the corner groups —
+    the row-gather backward's transpose WITHOUT its 8-slab concat-source
+    rebuild (the [N,8C] build was ~10% of the round-3 train step)."""
+    coords, blocks, src = res
+    B, D, H, W, C = src.shape
+    src_dtype = src.dtype
+    N = blocks.shape[1]
+    g2 = g.reshape(B, N, C)
+
+    def combine(c):
+        w, _ = _weights8(c, (B, D, H, W))
+        return jnp.sum(blocks * w.astype(blocks.dtype)[..., None],
+                       axis=(2, 3, 4))                    # [B, N, C]
+
+    _, vjp_c = jax.vjp(combine, coords)
+    (d_coords,) = vjp_c(g2)
+
+    w, flat_idx = _weights8(coords, (B, D, H, W))
+    w8 = w.reshape(B, N, 8).astype(g2.dtype)
+    d_rows = (w8[..., None] * g2[:, :, None, :]).reshape(B, N, 8 * C)
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
+    d_csrc = jnp.zeros((B, D * H * W, 8 * C), g2.dtype)
+    d_csrc = d_csrc.at[bidx, flat_idx].add(d_rows)
+    d_csrc = d_csrc.reshape(B, D, H, W, 8, C)
+    d_src = None
+    k = 0
+    for kz in (0, 1):
+        for ky in (0, 1):
+            for kx in (0, 1):
+                grp = d_csrc[:, :, :, :, k, :]
+                grp = jnp.pad(grp, ((0, 0), (kz, 0), (ky, 0), (kx, 0),
+                                    (0, 0)))[:, :D, :H, :W, :]
+                d_src = grp if d_src is None else d_src + grp
+                k += 1
+    return d_src.astype(src_dtype), d_coords
+
+
 def _tri_bwd(res, g):
+    if BWD_SAVED_BLOCKS and not ROW_GATHER:
+        return _tri_bwd_saved_blocks(res, g)
     src, coords = res
     bwd_form = (_trilinear_sample_rows if BWD_ROW_GATHER
                 else _trilinear_sample_corners)

@@ -284,3 +284,40 @@ def test_window_area_partition_neighborhood():
         area[:, 0, 0, 0, 14], wins.reshape(B, d, h, w, T, C)[:, 0, 0, 1])
     # out-of-grid neighbors are zero padding (corner window, dz=0 plane)
     assert np.all(area[:, 0, :, :, 0] == 0)
+
+
+def test_trilinear_saved_blocks_bwd_matches_row_bwd(rng):
+    """MICFORMER_WARP_BWD_SAVED_BLOCKS: the direct backward (saved forward
+    blocks; no forward recompute) must match the row-gather backward for
+    both src and coords, including clamp/out-of-range coordinate cases."""
+    src = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-3.0, 9.0, size=(2, 3, 4, 4, 4)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 3)).astype(np.float32))
+
+    def grads(saved):
+        prev = warp_ops.BWD_SAVED_BLOCKS
+        warp_ops.BWD_SAVED_BLOCKS = saved
+        try:
+            _, vjp = jax.vjp(warp_ops._trilinear_block_with_corner_grad,
+                             src, coords)
+            return vjp(g)
+        finally:
+            warp_ops.BWD_SAVED_BLOCKS = prev
+
+    base = grads(False)
+    direct = grads(True)
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(direct[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(base[1]), np.asarray(direct[1]),
+                               atol=1e-5)
+    # forward value unchanged by the flag
+    prev = warp_ops.BWD_SAVED_BLOCKS
+    try:
+        warp_ops.BWD_SAVED_BLOCKS = True
+        on = warp_ops._trilinear_block_with_corner_grad(src, coords)
+        warp_ops.BWD_SAVED_BLOCKS = False
+        off = warp_ops._trilinear_block_with_corner_grad(src, coords)
+    finally:
+        warp_ops.BWD_SAVED_BLOCKS = prev
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
