@@ -247,8 +247,15 @@ def _composed_head_kernel(k1, k2):
     slabs = [k1p[2 - jz:2 - jz + q, 2 - jy:2 - jy + q, 2 - jx:2 - jx + q]
              for jz in range(3) for jy in range(3) for jx in range(3)]
     stack = jnp.stack(slabs)                            # [27, q, q, q, I, O]
-    return jnp.einsum("jzyxio,joc->zyxic", stack,
-                      k2.astype(jnp.float32).reshape(27, *k2.shape[3:]))
+    I, O = k1.shape[3], k1.shape[4]
+    C = k2.shape[4]
+    # contract as an explicit 2-D dot: [q³I, 27O] @ [27O, C]. The einsum form
+    # ("jzyxio,joc->zyxic") fused the stack build and contraction into one
+    # 5.3 ms/call serial loop fusion; the reshape-transpose + MXU dot is the
+    # same math at matmul speed.
+    st2 = stack.transpose(1, 2, 3, 4, 0, 5).reshape(q * q * q * I, 27 * O)
+    w2 = k2.astype(jnp.float32).reshape(27 * O, C)
+    return (st2 @ w2).reshape(q, q, q, I, C)
 
 
 def _composed_head_bias_field(b1, k2, out_spatial):
