@@ -163,6 +163,65 @@ class HalfUNet(nn.Module):
         return to_channels_first(out).astype(jnp.float32)
 
 
+class UNetPatch(nn.Module):
+    """UNetPatch (segmentation/unet_patchify_imageskip.py): conv U-Net whose
+    stem is a patch embedding (Conv k=s=patch, conv_swinpatch_encoder.py:43)
+    and whose skip list is prepended with the RAW input image
+    (conv_swinpatch_encoder.py:74); every skip — including the raw-image one —
+    passes through a channel-preserving DoubleConv block (ConvSkipBloc), with
+    an optional residual leak (`skip_leak`). The decoder mirrors the encoder
+    pools and finishes with a ×patch transpose-conv level whose skip is the
+    conv-modified raw image; its block output is C_in channels (the reference
+    prepends input channels to the decoder channel list) before the 1³ head.
+
+    patch_size defaults to 2 (the reference default 3 relies on torch's
+    computed output dims for odd grids; 2 keeps every level a clean halving,
+    same topology)."""
+
+    num_classes: int = 8
+    num_channels_list: Sequence[int] = (16, 32, 64, 128, 190, 256)
+    channel_embedding: int = 32
+    patch_size: int = 2
+    skip_leak: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = to_channels_last(x)
+        raw = x
+        c_in = x.shape[-1]
+        p = (self.patch_size,) * 3
+        x = nn.Conv(self.channel_embedding, p, strides=p, padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+
+        chs = list(self.num_channels_list)
+        skips = [raw]
+        for i, c in enumerate(chs):
+            x = DoubleConv(c, dtype=self.dtype, name=f"enc{i}")(x)
+            if i < len(chs) - 1:
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+        # ConvSkipBloc: channel-preserving block per skip (+optional residual)
+        mod_skips = []
+        for i, s in enumerate(skips):
+            m = DoubleConv(s.shape[-1], dtype=self.dtype, name=f"skip{i}")(s)
+            mod_skips.append(m + s if self.skip_leak else m)
+
+        # decoder channel list = ([C_in] + chs)[-2::-1] — ends at C_in
+        dec_chs = ([c_in] + chs)[-2::-1]
+        for j, c in enumerate(dec_chs):
+            last = j == len(dec_chs) - 1
+            up = p if last else (2, 2, 2)
+            x = nn.ConvTranspose(c, up, strides=up, padding="VALID",
+                                 dtype=self.dtype, name=f"up{j}")(x)
+            x = jnp.concatenate([mod_skips[-1 - j], x], axis=-1)
+            x = DoubleConv(c, dtype=self.dtype, name=f"dec{j}")(x)
+
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="head")(x)
+        return to_channels_first(out).astype(jnp.float32)
+
+
 @registry.register("transunet", num_classes=8)
 def build_transunet(**kw):
     return TransUNet(**kw)
@@ -179,3 +238,8 @@ def build_unet_conv(**kw):
 @registry.register("halfunet", num_classes=8)
 def build_halfunet(**kw):
     return HalfUNet(**kw)
+
+
+@registry.register("unet_patchify", num_classes=8)
+def build_unet_patchify(**kw):
+    return UNetPatch(**kw)

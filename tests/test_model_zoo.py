@@ -38,6 +38,8 @@ ZOO = [
      (1, 2, 32, 32, 32)),
     ("halfunet", dict(num_channels_list=(4, 8, 16, 32, 48, 64)),
      (1, 2, 32, 32, 32)),
+    ("unet_patchify", dict(num_channels_list=(4, 8, 16, 32), channel_embedding=8),
+     (1, 2, 32, 32, 32)),
 ]
 
 
