@@ -21,6 +21,7 @@ The attention-embedding norm/activation are Identity in the shipped config.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -45,6 +46,48 @@ class DoubleConv(nn.Module):
         return x
 
 
+# k=s=patch convs in the attention gates as space-to-depth matmuls (same
+# param tree — the Conv/ConvTranspose modules are materialized by a dummy
+# call). The lax.conv lowering of the gates' LARGE-kernel patchify convs
+# (patch = skip_extent/8, i.e. 16³ kernels at the 128³ level) is pathological
+# on this stack: the round-3 zoo sweep measured the gated TransUNet at
+# 2.0 s/window vs 0.07 s for the identical ungated UNet. Kill switch:
+# MICFORMER_GATE_VIA_DOT=0.
+GATE_VIA_DOT = os.environ.get("MICFORMER_GATE_VIA_DOT", "1") == "1"
+
+
+def _patchify_via_dot(conv, x, p, features, dtype):
+    """Conv(k=s=p, VALID) == space-to-depth reshape + one MXU matmul."""
+    B, D, H, W, C = x.shape
+    _ = conv(jnp.zeros((1,) + p + (C,), x.dtype))
+    pr = conv.variables["params"]
+    w = pr["kernel"].reshape(p[0] * p[1] * p[2] * C, features)
+    xs = x.reshape(B, D // p[0], p[0], H // p[1], p[1], W // p[2], p[2], C)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        B, D // p[0], H // p[1], W // p[2], p[0] * p[1] * p[2] * C)
+    return (jnp.einsum("bdhwk,ke->bdhwe", xs.astype(dtype), w.astype(dtype))
+            + pr["bias"].astype(dtype))
+
+
+def _unpatchify_via_dot(tconv, x, p, features, dtype):
+    """ConvTranspose(k=s=p, VALID) == one matmul + depth-to-space reshape.
+
+    With stride == kernel each input voxel paints one disjoint p-block.
+    flax ConvTranspose (transpose_kernel=False) applies the SPATIALLY
+    FLIPPED kernel: out[b, z*p+i, ...] = sum_c in[b,z,...,c]·K[p-1-i,...]
+    (measured against the conv path; asserted in tests/test_model_zoo.py)."""
+    B, D, H, W, C = x.shape
+    _ = tconv(jnp.zeros((1, 1, 1, 1, C), x.dtype))
+    pr = tconv.variables["params"]
+    K = pr["kernel"][::-1, ::-1, ::-1]  # [pd, ph, pw, C, O], unflipped
+    w = K.transpose(3, 0, 1, 2, 4).reshape(C, -1)
+    y = jnp.einsum("bdhwc,ck->bdhwk", x.astype(dtype), w.astype(dtype))
+    y = y.reshape(B, D, H, W, p[0], p[1], p[2], features)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        B, D * p[0], H * p[1], W * p[2], features)
+    return y + pr["bias"].astype(dtype)
+
+
 class AttentionGate(nn.Module):
     """PatchifyVisionMultiheadAttention: skip gated by decoder context."""
 
@@ -57,10 +100,20 @@ class AttentionGate(nn.Module):
     def __call__(self, skip, dec):
         B, Ds, Hs, Ws, Cs = skip.shape
         p = (self.patch_size,) * 3
-        q_tok = nn.Conv(self.embed_size, p, strides=p, padding="VALID",
-                        dtype=self.dtype, name="embed_skip")(skip)
-        kv_tok = nn.Conv(self.embed_size, p, strides=p, padding="VALID",
-                         dtype=self.dtype, name="embed_dec")(dec)
+        embed_skip = nn.Conv(self.embed_size, p, strides=p, padding="VALID",
+                             dtype=self.dtype, name="embed_skip")
+        embed_dec = nn.Conv(self.embed_size, p, strides=p, padding="VALID",
+                            dtype=self.dtype, name="embed_dec")
+        via_dot = (GATE_VIA_DOT and Ds % p[0] == 0 and Hs % p[1] == 0
+                   and Ws % p[2] == 0)
+        if via_dot:
+            q_tok = _patchify_via_dot(embed_skip, skip, p, self.embed_size,
+                                      self.dtype)
+            kv_tok = _patchify_via_dot(embed_dec, dec, p, self.embed_size,
+                                       self.dtype)
+        else:
+            q_tok = embed_skip(skip)
+            kv_tok = embed_dec(dec)
 
         def with_pe(t):
             # interleaved phase layout: the pip positional_encodings package
@@ -82,8 +135,12 @@ class AttentionGate(nn.Module):
                                  split_heads(v, self.num_heads))
         o = nn.Dense(self.embed_size, dtype=self.dtype, name="out")(merge_heads(o))
         o = o.reshape(B, qd, qh, qw, self.embed_size)
-        o = nn.ConvTranspose(Cs, p, strides=p, padding="VALID", dtype=self.dtype,
-                             name="upscale")(o)
+        upscale = nn.ConvTranspose(Cs, p, strides=p, padding="VALID",
+                                   dtype=self.dtype, name="upscale")
+        if via_dot:
+            o = _unpatchify_via_dot(upscale, o, p, Cs, self.dtype)
+        else:
+            o = upscale(o)
         return o + skip
 
 

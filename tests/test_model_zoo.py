@@ -61,6 +61,28 @@ def test_zoo_registry_complete():
         assert required in avail, f"{required} missing from registry"
 
 
+def test_transunet_gate_via_dot_parity():
+    """The gates' space-to-depth matmul form must equal the lax.conv form
+    bit-for-bit-ish with the SAME parameters (param tree is shared)."""
+    from micformer_tpu.models import transunet as tu
+
+    kw = dict(num_channels_list=(4, 8, 16, 32), embed_size=16)
+    x = jnp.asarray(np.random.default_rng(3)
+                    .normal(size=(1, 2, 32, 32, 32)).astype(np.float32))
+    model = registry.build("transunet", **kw)
+    assert tu.GATE_VIA_DOT  # default ON
+    variables = model.init(jax.random.key(0), x)
+    got = model.apply(variables, x)
+    old = tu.GATE_VIA_DOT
+    try:
+        tu.GATE_VIA_DOT = False
+        want = model.apply(variables, x)
+    finally:
+        tu.GATE_VIA_DOT = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_micformer_grad_flows():
     from micformer_tpu.losses.dice import mdice_loss
 
