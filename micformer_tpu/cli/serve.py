@@ -97,8 +97,11 @@ def main(argv=None):
     from micformer_tpu.train.checkpoint import CheckpointManager
 
     p = argparse.ArgumentParser("micformer_tpu.serve")
-    p.add_argument("--run-dir", required=True,
+    p.add_argument("--run-dir", default=None,
                    help="trained run dir (config.yaml + checkpoints)")
+    p.add_argument("--exported", default=None,
+                   help="serve an AOT artifact dir (cli.export) instead of a "
+                        "run dir — no model zoo / checkpoint load")
     p.add_argument("--ckpt-tag", default="best_dice",
                    choices=["best_dice", "best_loss", "latest"])
     p.add_argument("--model", default=None,
@@ -124,42 +127,59 @@ def main(argv=None):
                    help="exit after this many idle seconds (default: run "
                         "forever)")
     args = p.parse_args(argv)
+    if not args.run_dir and not args.exported:
+        p.error("one of --run-dir / --exported is required")
 
     os.makedirs(args.out, exist_ok=True)
     ts = (args.target_shape,) * 3
 
-    # -- model reconstruction (same rule as cli/predict.py) ----------------
-    model_name, model_kwargs = args.model, {"num_classes": args.num_classes}
-    cfg_path = os.path.join(args.run_dir, "config.yaml")
-    if os.path.exists(cfg_path):
-        from micformer_tpu.config import load_config
+    if args.exported:
+        # AOT path: the artifact IS the whole pipeline (tiling + model +
+        # blending + argmax); its meta pins the serving shapes.
+        from micformer_tpu.convert.aot_export import load_artifact
 
-        run_cfg = load_config(cfg_path)
-        if model_name is None:
-            model_name = run_cfg.model.name
-        if model_name == run_cfg.model.name:
-            extra = {k: tuple(v) if isinstance(v, list) else v
-                     for k, v in run_cfg.model.extra.items()}
-            model_kwargs = dict(num_classes=run_cfg.model.num_classes, **extra)
-            if model_name == "micformer" and "embed_dim" not in model_kwargs:
-                model_kwargs["embed_dim"] = run_cfg.model.embed_dim
-    model_name = model_name or "micformer"
-    if args.bf16:
-        model_kwargs["dtype"] = jnp.bfloat16
-    model = registry.build(model_name, **model_kwargs)
-    params = CheckpointManager(args.run_dir).restore_params_only(args.ckpt_tag)
+        call, meta = load_artifact(args.exported)
+        if meta["output"] != "argmax_uint8":
+            raise SystemExit("serve needs an argmax artifact (re-export "
+                             "without --logits)")
+        ts = tuple(meta["input_shape"][2:])
+        model_name = meta.get("model", "exported")
+        infer = call
+    else:
+        # -- model reconstruction (same rule as cli/predict.py) ------------
+        model_name, model_kwargs = args.model, {"num_classes": args.num_classes}
+        cfg_path = os.path.join(args.run_dir, "config.yaml")
+        if os.path.exists(cfg_path):
+            from micformer_tpu.config import load_config
 
-    def predictor(win):
-        out = model.apply({"params": params}, win)
-        return out[0] if isinstance(out, (list, tuple)) else out
+            run_cfg = load_config(cfg_path)
+            if model_name is None:
+                model_name = run_cfg.model.name
+            if model_name == run_cfg.model.name:
+                extra = {k: tuple(v) if isinstance(v, list) else v
+                         for k, v in run_cfg.model.extra.items()}
+                model_kwargs = dict(num_classes=run_cfg.model.num_classes,
+                                    **extra)
+                if model_name == "micformer" and "embed_dim" not in model_kwargs:
+                    model_kwargs["embed_dim"] = run_cfg.model.embed_dim
+        model_name = model_name or "micformer"
+        if args.bf16:
+            model_kwargs["dtype"] = jnp.bfloat16
+        model = registry.build(model_name, **model_kwargs)
+        params = CheckpointManager(args.run_dir).restore_params_only(
+            args.ckpt_tag)
 
-    def infer(volume):
-        logits = sliding_window_inference(
-            volume, (args.roi,) * 3, predictor,
-            num_classes=args.num_classes, overlap=args.overlap,
-            sw_batch_size=args.sw_batch_size, step_mode=args.step_mode,
-            mirror_tta=args.mirror_tta)
-        return jnp.argmax(logits, axis=1).astype(jnp.uint8)
+        def predictor(win):
+            out = model.apply({"params": params}, win)
+            return out[0] if isinstance(out, (list, tuple)) else out
+
+        def infer(volume):
+            logits = sliding_window_inference(
+                volume, (args.roi,) * 3, predictor,
+                num_classes=args.num_classes, overlap=args.overlap,
+                sw_batch_size=args.sw_batch_size, step_mode=args.step_mode,
+                mirror_tta=args.mirror_tta)
+            return jnp.argmax(logits, axis=1).astype(jnp.uint8)
 
     # -- warmup: compile the one static-shape executable --------------------
     t0 = time.perf_counter()

@@ -258,6 +258,41 @@ def test_serve_cli(data_root, tmp_path_factory):
         json.load(open(os.path.join(out, "req_a.done")))["served"] == 2
 
 
+def test_export_cli_and_serve_exported(tmp_path_factory):
+    """AOT deployment flow: export a trained run to a StableHLO artifact,
+    then serve requests from the artifact alone (no checkpoint load)."""
+    import time
+
+    from micformer_tpu.cli.export import main as export_main
+    from micformer_tpu.cli.serve import main as serve_main
+    from micformer_tpu.data.nifti import read_nifti
+
+    run_dir = getattr(test_train_cli, "run_dir", None)
+    if run_dir is None:
+        pytest.skip("train test did not run")
+    art = str(tmp_path_factory.mktemp("artifact"))
+    export_main([
+        "--run-dir", run_dir, "--out", art,
+        "--target-shape", "16", "--roi", "16", "--sw-batch-size", "1",
+    ])
+    assert os.path.exists(os.path.join(art, "module.jaxexp"))
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["model"] == "unet3d" and meta["output"] == "argmax_uint8"
+
+    watch = str(tmp_path_factory.mktemp("watch2"))
+    out = str(tmp_path_factory.mktemp("served2"))
+    np.save(os.path.join(watch, "req_x.npy"),
+            np.random.default_rng(2)
+            .normal(size=(2, 16, 16, 16)).astype(np.float32))
+    time.sleep(0.3)
+    serve_main([
+        "--exported", art, "--watch", watch, "--out", out,
+        "--poll", "0.1", "--max-requests", "1",
+    ])
+    seg = read_nifti(os.path.join(out, "req_x_seg.nii.gz"))
+    assert seg.shape == (16, 16, 16)
+
+
 def test_find_lr_cli(data_root, tmp_path_factory):
     from micformer_tpu.cli.train import main as train_main
 
