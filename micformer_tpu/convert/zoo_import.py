@@ -724,3 +724,76 @@ def swinunet3d_params_from_torch(state_dict, layers=(2, 2, 4, 2)) -> dict:
         "head": _conv(sd, "out.0"),
     }
     return params
+
+
+def load_reference_vtunet(reference_root: str = REFERENCE,
+                          img_size=(128, 64, 64), in_chans: int = 2,
+                          num_classes: int = 8, embed_dim: int = 48,
+                          window_size=(7, 7, 7)):
+    """Instantiate the reference SwinTransformerSys3D with the VTUNet wrapper
+    config (vision_transformer.py:27-46). Token depth is pinned to 32 by the
+    hard-coded view in PatchExpand_Up (vt_unet.py:469) — img D must be 128;
+    H/W and embed_dim shrink freely for test budgets."""
+    mod = load_reference_vtunet_module(reference_root)
+    m = mod.SwinTransformerSys3D(
+        img_size=tuple(img_size), patch_size=(4, 4, 4), in_chans=in_chans,
+        num_classes=num_classes, embed_dim=embed_dim,
+        depths=[2, 2, 2, 1], depths_decoder=[1, 2, 2, 2],
+        num_heads=[3, 6, 12, 24], window_size=tuple(window_size),
+        mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.1, patch_norm=True,
+        use_checkpoint=False, frozen_stages=-1,
+        final_upsample="expand_first")
+    return m.eval()
+
+
+def _vt_block(sd, p):
+    return {
+        "norm1": _ln(sd, p + ".norm1"),
+        "attn": {
+            "qkv": _dense(sd, p + ".attn.qkv"),
+            "proj": _dense(sd, p + ".attn.proj"),
+            "rel_pos_bias_table": np.asarray(
+                sd[p + ".attn.relative_position_bias_table"]),
+        },
+        "norm2": _ln(sd, p + ".norm2"),
+        "mlp": {"Dense_0": _dense(sd, p + ".mlp.fc1"),
+                "Dense_1": _dense(sd, p + ".mlp.fc2")},
+    }
+
+
+def vtunet_params_from_torch(state_dict, depths=(2, 2, 2, 1)) -> dict:
+    """Full reference SwinTransformerSys3D state_dict -> flax VTUNet params
+    (models/vtunet.py, faithful_2d_merge=True). Covers every parameter:
+    patch embed, encoder blocks + PatchMerging, decoder blocks +
+    PatchExpand(_Up), concat_back linears, final expand and head."""
+    sd = _numpy_sd(state_dict)
+    n = len(depths)
+    params = {
+        "patch_embed": {"Conv_0": _conv(sd, "patch_embed.proj"),
+                        "LayerNorm_0": _ln(sd, "patch_embed.norm")},
+        "norm": _ln(sd, "norm"),
+        "norm_up": _ln(sd, "norm_up"),
+        "up0": {"expand": _dense(sd, "layers_up.0.expand"),
+                "norm": _ln(sd, "layers_up.0.norm")},
+        "final_expand": {"Dense_0": _dense(sd, "up.expand"),
+                         "LayerNorm_0": _ln(sd, "up.norm")},
+        "head": _conv(sd, "output"),
+    }
+    for i in range(n):
+        for b in range(depths[i]):
+            params[f"enc{i}_b{b}"] = _vt_block(sd, f"layers.{i}.blocks.{b}")
+        if i < n - 1:
+            params[f"merge{i}"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": _dense(sd, f"layers.{i}.downsample.reduction")}
+    for inx in range(1, n):
+        i = n - 1 - inx
+        params[f"concat_back{inx}"] = _dense(sd, f"concat_back_dim.{inx}")
+        for b in range(depths[i]):
+            params[f"dec{inx}_b{b}"] = _vt_block(sd, f"layers_up.{inx}.blocks.{b}")
+        if inx < n - 1:
+            params[f"up{inx}"] = {
+                "expand": _dense(sd, f"layers_up.{inx}.upsample.expand"),
+                "norm": _ln(sd, f"layers_up.{inx}.upsample.norm")}
+    return params

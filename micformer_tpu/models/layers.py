@@ -705,17 +705,27 @@ class Conv3x3ViaDot(nn.Module):
     small-but-not-tiny output channels (e.g. 96->16 k3 at 32³) takes 500+ s to
     compile, while the same contraction as dots compiles in seconds (measured
     2026-08-16). FLOP-equivalent; used on cold paths where C_out is small.
+
+    kernel_layout="conv" stores the parameter in nn.Conv's (3,3,3,C,F)
+    layout instead (drop-in replacement for an existing nn.Conv param tree;
+    used by SwinUNETR's ResConvBlocks, round-4 perf pass).
     """
 
     features: int
     use_bias: bool = True
+    kernel_layout: str = "taps"  # taps (27,C,F) | conv (3,3,3,C,F)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, D, H, W, C = x.shape
-        w = self.param("kernel", nn.initializers.lecun_normal(),
-                       (27, C, self.features))
+        if self.kernel_layout == "conv":
+            w = self.param("kernel", nn.initializers.lecun_normal(),
+                           (3, 3, 3, C, self.features)).reshape(
+                               27, C, self.features)
+        else:
+            w = self.param("kernel", nn.initializers.lecun_normal(),
+                           (27, C, self.features))
         if PREPROJECT:
             # exact reformulation: project ONCE with the [C, 27·F] flattened
             # kernel, then sum the 27 tap slices at their spatial shifts. The
@@ -755,6 +765,235 @@ class Conv3x3ViaDot(nn.Module):
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,)).astype(self.dtype)
+        return out
+
+
+class ConvTranspose2x2ViaDot(nn.Module):
+    """ConvTranspose k=s=2 'VALID' as one matmul + depth-to-space.
+
+    Parameter tree identical to flax nn.ConvTranspose (kernel (2,2,2,C,F),
+    bias (F,)). With kernel == stride the windows don't overlap, so
+    out[b, 2d+i, 2h+j, 2w+l, f] = Σ_c x[b,d,h,w,c]·w[i,j,l,c,f]: one MXU
+    [C, 8F] contraction then an interleave reshape — no lax.conv layout
+    round-trip (round-4 SwinUNETR perf pass)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        F = self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, 2, C, F))
+        # flax ConvTranspose applies the kernel spatially flipped
+        # (lax.conv_transpose semantics) — flip here so the param is
+        # bit-compatible with an nn.ConvTranspose checkpoint.
+        w = w[::-1, ::-1, ::-1]
+        y = jnp.einsum("bdhwc,ck->bdhwk", x.astype(self.dtype),
+                       w.reshape(8, C, F).transpose(1, 0, 2)
+                       .reshape(C, 8 * F).astype(self.dtype))
+        y = y.reshape(B, D, H, W, 2, 2, 2, F)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, 2 * D, 2 * H, 2 * W, F)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (F,)).astype(self.dtype)
+        return y
+
+
+# A/B (round 4): depthwise k³ convs as shift-and-add stencils. XLA lowers
+# grouped lax.conv on this backend with spatial-minor operand layouts, so a
+# depthwise conv between two channel-minor matmuls costs two full-tensor
+# layout copies — 45% of the MedNeXt-S forward was transpose/copy
+# (benchmarks/RESULTS.md round 4). The stencil form is k³ shifted
+# multiply-adds in the SAME channel-minor layout as its neighbours: no
+# copies, negligible FLOPs (depthwise convs are bandwidth-, not FLOP-work).
+DW_STENCIL = _os.environ.get("MICFORMER_DW_STENCIL", "1") == "1"
+
+
+def dw_conv_stencil(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+                    pad=None) -> jnp.ndarray:
+    """Depthwise conv as shift-and-add: x [B,D,H,W,C] · w [k,k,k,1,C] (flax
+    grouped-Conv kernel layout). `pad` is per-axis (lo, hi); default k//2.
+
+    stride 2 routes through a parity reshape (spatial axis -> (n, 2) view,
+    free: C stays minor) so every tap is a STATIC slice — a strided slice
+    here lowers to a 24 ms/row-set gather on this backend (round-4 profile).
+    """
+    B, D, H, W, C = x.shape
+    k = w.shape[0]
+    if pad is None:
+        p = k // 2
+        pad = ((p, p),) * 3
+    if stride == 2:
+        return _dw_conv_stencil_s2(x, w, pad)
+    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], pad[2], (0, 0)))
+    sizes = [dim + lo + hi - k + 1 for dim, (lo, hi) in zip((D, H, W), pad)]
+    out = None
+    for dz in range(k):
+        for dy in range(k):
+            for dx in range(k):
+                sl = xp[:, dz:dz + sizes[0], dy:dy + sizes[1],
+                        dx:dx + sizes[2], :]
+                term = sl * w[dz, dy, dx, 0][None, None, None, None, :]
+                out = term if out is None else out + term
+    return out
+
+
+def _dw_conv_stencil_s2(x, w, pad):
+    """Stride-2 depthwise stencil via parity views.
+
+    out[p] = Σ_t w[t]·xp[2p+t]. Pad each spatial axis to even length 2n,
+    reshape to (n, 2) — a free view (channels stay minor) — and each tap t
+    becomes the static slice parity[t%2][p + t//2]."""
+    B, D, H, W, C = x.shape
+    k = w.shape[0]
+    sizes = [(dim + lo + hi - k) // 2 + 1
+             for dim, (lo, hi) in zip((D, H, W), pad)]
+    # pad so every tap's slice stays in range: need 2·(size-1)+k ≤ padded len,
+    # rounded up to even for the parity view.
+    plens = [max(2 * (s - 1) + k, dim + lo + hi)
+             for s, dim, (lo, hi) in zip(sizes, (D, H, W), pad)]
+    plens = [l + (l % 2) for l in plens]
+    cfg = [(lo, pl - dim - lo)
+           for pl, dim, (lo, hi) in zip(plens, (D, H, W), pad)]
+    xp = jnp.pad(x, ((0, 0), cfg[0], cfg[1], cfg[2], (0, 0)))
+    xv = xp.reshape(B, plens[0] // 2, 2, plens[1] // 2, 2, plens[2] // 2, 2, C)
+    out = None
+    for dz in range(k):
+        for dy in range(k):
+            for dx in range(k):
+                sl = xv[:,
+                        dz // 2:dz // 2 + sizes[0], dz % 2,
+                        dy // 2:dy // 2 + sizes[1], dy % 2,
+                        dx // 2:dx // 2 + sizes[2], dx % 2, :]
+                term = sl * w[dz, dy, dx, 0][None, None, None, None, :]
+                out = term if out is None else out + term
+    return out
+
+
+def dw_transpose2_stencil(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise stride-2 transpose conv (k odd), output exactly 2L per axis
+    == dw_conv_stencil(zero_dilate(x), w, pad=((p+1, p),)*3) — the MedNeXt
+    up-block's fused form (blocks.py:113-147) — but computed per output
+    parity class on the SMALL input: no dilated-tensor traffic, no gathers.
+
+    out[o] = Σ_t w[t]·xd[o+t-(p+1)], xd = zero-dilated x; for o = 2q+π only
+    taps with (π+t-p-1) even survive, reading x[q + (π+t-p-1)//2]."""
+    B, D, H, W, C = x.shape
+    k = w.shape[0]
+    lo = k // 2 + 1
+    # per axis parity π, the surviving (tap, input-offset) pairs
+    taps = {pi: [(t, (pi + t - lo) // 2) for t in range(k)
+                 if (pi + t - lo) % 2 == 0] for pi in (0, 1)}
+    off = max(-min(d for pr in taps.values() for _, d in pr), 0)
+    hi = max(max(d for pr in taps.values() for _, d in pr), 0)
+    xp = jnp.pad(x, ((0, 0),) + ((off, hi),) * 3 + ((0, 0),))
+
+    classes = []
+    for pz in (0, 1):
+        for py in (0, 1):
+            for px in (0, 1):
+                acc = None
+                for tz, dz in taps[pz]:
+                    for ty, dy in taps[py]:
+                        for tx, dx in taps[px]:
+                            sl = xp[:, off + dz:off + dz + D,
+                                    off + dy:off + dy + H,
+                                    off + dx:off + dx + W, :]
+                            term = sl * w[tz, ty, tx, 0][None, None, None,
+                                                         None, :]
+                            acc = term if acc is None else acc + term
+                classes.append(acc)
+    out = jnp.stack(classes, axis=4)                    # [B,D,H,W,8,C]
+    out = out.reshape(B, D, H, W, 2, 2, 2, C)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, 2 * D, 2 * H,
+                                                        2 * W, C)
+    return out
+
+
+class PointwiseConv(nn.Module):
+    """1³ conv as one einsum over the channel axis; parameter tree identical
+    to nn.Conv(features, (1,1,1)) (kernel [1,1,1,C,F], bias [F]). Keeps the
+    surrounding channel-minor layout — lax.conv would negotiate a conv
+    layout and pay full-tensor copies both ways (round-4 MedNeXt profile)."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, 1, C, self.features))
+        if self.stride == 2:
+            # parity view, not a strided slice (which lowers to a gather)
+            x = x.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2,
+                          C)[:, :, 0, :, 0, :, 0, :]
+        y = jnp.einsum("bdhwc,cf->bdhwf", x.astype(self.dtype),
+                       w[0, 0, 0].astype(self.dtype))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,)).astype(self.dtype)
+        return y
+
+
+class PointwiseTranspose2(nn.Module):
+    """1³ conv over a lead-padded zero-dilated input (the MedNeXt up-block
+    residual, blocks.py:137-146 default form), computed as one matmul on the
+    SMALL input + a parity interleave: out[2q+1] = W·x[q]+b on the all-odd
+    parity class, bias everywhere else. Param tree == nn.Conv((1,1,1))."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        F = self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, 1, C, F))
+        b = self.param("bias", nn.initializers.zeros, (F,)).astype(self.dtype)
+        y = jnp.einsum("bdhwc,cf->bdhwf", x.astype(self.dtype),
+                       w[0, 0, 0].astype(self.dtype)) + b
+        bias_field = jnp.broadcast_to(b, (B, D, H, W, F))
+        classes = [bias_field] * 7 + [y]          # (0,0,0)..(1,1,0), (1,1,1)
+        out = jnp.stack(classes, axis=4).reshape(B, D, H, W, 2, 2, 2, F)
+        return out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            B, 2 * D, 2 * H, 2 * W, F)
+
+
+class DepthwiseConv3D(nn.Module):
+    """Depthwise k³ conv with an nn.Conv(feature_group_count=C)-identical
+    parameter tree (kernel [k,k,k,1,C], bias [C]) but stencil lowering."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1          # 1 | 2; ignored when transpose2
+    pad: tuple | None = None
+    transpose2: bool = False  # stride-2 transpose conv (2x upsample)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        assert C == self.features, "depthwise: features must equal input C"
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, k, 1, C))
+        if self.transpose2:
+            out = dw_transpose2_stencil(x.astype(self.dtype),
+                                        w.astype(self.dtype))
+        else:
+            out = dw_conv_stencil(x.astype(self.dtype), w.astype(self.dtype),
+                                  self.stride, self.pad)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (C,)).astype(self.dtype)
         return out
 
 

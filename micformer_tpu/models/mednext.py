@@ -24,8 +24,28 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from micformer_tpu.models.layers import InstanceNorm, to_channels_last, to_channels_first, zero_dilate
+from micformer_tpu.models.layers import (
+    DW_STENCIL,
+    DepthwiseConv3D,
+    InstanceNorm,
+    PointwiseConv,
+    PointwiseTranspose2,
+    to_channels_last,
+    to_channels_first,
+    zero_dilate,
+)
+
+
 from micformer_tpu import registry
+
+
+def _pw(features, stride=1, dtype=jnp.float32, name=None):
+    """1³ conv: einsum form when the stencil profile is on (nn.Conv param
+    tree either way)."""
+    if DW_STENCIL:
+        return PointwiseConv(features, stride=stride, dtype=dtype, name=name)
+    s = (stride,) * 3
+    return nn.Conv(features, (1, 1, 1), strides=s, dtype=dtype, name=name)
 
 
 class MedNeXtBlock(nn.Module):
@@ -43,8 +63,12 @@ class MedNeXtBlock(nn.Module):
         k = (self.kernel,) * 3
         p = self.kernel // 2
         if self.mode == "down":
-            h = nn.Conv(C, k, strides=(2, 2, 2), padding=self.kernel // 2,
-                        feature_group_count=C, dtype=self.dtype, name="dw")(x)
+            if DW_STENCIL:
+                h = DepthwiseConv3D(C, self.kernel, stride=2,
+                                    dtype=self.dtype, name="dw")(x)
+            else:
+                h = nn.Conv(C, k, strides=(2, 2, 2), padding=self.kernel // 2,
+                            feature_group_count=C, dtype=self.dtype, name="dw")(x)
         elif self.mode == "up":
             # torch: depthwise ConvTranspose3d(k, s2, pad=k//2) then
             # F.pad (1,0,1,0,1,0) -> exactly 2x extent (MedNeXtUpBlock,
@@ -57,35 +81,53 @@ class MedNeXtBlock(nn.Module):
             #   conv straight to 2L; the leading plane carries a real windowed
             #   value instead of a dead border and the norm statistics include
             #   it (documented deviation, tests/test_layer_parity.py).
-            h = zero_dilate(x)
-            pad = [(p, p)] * 3 if self.faithful_up else [(p + 1, p)] * 3
-            h = nn.Conv(C, k, padding=pad, feature_group_count=C,
-                        dtype=self.dtype, name="dw")(h)
+            if DW_STENCIL and not self.faithful_up:
+                # parity-class transpose stencil == zero_dilate + pad (p+1,p)
+                # conv, without materializing the dilated tensor
+                h = DepthwiseConv3D(C, self.kernel, transpose2=True,
+                                    dtype=self.dtype, name="dw")(x)
+            else:
+                h = zero_dilate(x)
+                pad = [(p, p)] * 3 if self.faithful_up else [(p + 1, p)] * 3
+                if DW_STENCIL:
+                    h = DepthwiseConv3D(C, self.kernel, pad=tuple(pad),
+                                        dtype=self.dtype, name="dw")(h)
+                else:
+                    h = nn.Conv(C, k, padding=pad, feature_group_count=C,
+                                dtype=self.dtype, name="dw")(h)
         else:
-            h = nn.Conv(C, k, padding=self.kernel // 2,
-                        feature_group_count=C, dtype=self.dtype, name="dw")(x)
+            if DW_STENCIL:
+                h = DepthwiseConv3D(C, self.kernel, dtype=self.dtype,
+                                    name="dw")(x)
+            else:
+                h = nn.Conv(C, k, padding=self.kernel // 2,
+                            feature_group_count=C, dtype=self.dtype, name="dw")(x)
         h = InstanceNorm(affine=True, dtype=self.dtype, name="norm")(h)
-        h = nn.Conv(self.exp_r * C, (1, 1, 1), dtype=self.dtype, name="expand")(h)
+        h = _pw(self.exp_r * C, dtype=self.dtype, name="expand")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="compress")(h)
+        h = _pw(self.out_channels, dtype=self.dtype, name="compress")(h)
         lead = ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0))
         if self.mode == "up" and self.faithful_up:
             h = jnp.pad(h, lead)  # the reference's literal-zero border plane
         if self.do_res:
             if self.mode == "down":
-                res = nn.Conv(self.out_channels, (1, 1, 1), strides=(2, 2, 2),
-                              dtype=self.dtype, name="res")(x)
+                res = _pw(self.out_channels, stride=2, dtype=self.dtype,
+                          name="res")(x)
             elif self.mode == "up":
                 # 1³ stride-2 transpose conv + leading pad. faithful: conv the
                 # dilated input first, pad after (border plane exactly 0, as
                 # blocks.py:146 res pad); default: pad first (border = bias).
-                res = zero_dilate(x)
-                if not self.faithful_up:
-                    res = jnp.pad(res, lead)
-                res = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
-                              name="res")(res)
-                if self.faithful_up:
-                    res = jnp.pad(res, lead)
+                if DW_STENCIL and not self.faithful_up:
+                    res = PointwiseTranspose2(self.out_channels,
+                                              dtype=self.dtype, name="res")(x)
+                else:
+                    res = zero_dilate(x)
+                    if not self.faithful_up:
+                        res = jnp.pad(res, lead)
+                    res = nn.Conv(self.out_channels, (1, 1, 1),
+                                  dtype=self.dtype, name="res")(res)
+                    if self.faithful_up:
+                        res = jnp.pad(res, lead)
             else:
                 res = x
             h = h + res
@@ -115,7 +157,7 @@ class MedNeXt(nn.Module):
         x = to_channels_last(x)
         n = self.n_channels
         er, bc = list(self.exp_r), list(self.block_counts)
-        x = nn.Conv(n, (1, 1, 1), dtype=self.dtype, name="stem")(x)
+        x = _pw(n, dtype=self.dtype, name="stem")(x)
 
         skips = []
         # encoder stages 0..3 + downs, bottleneck stage 4
@@ -137,8 +179,8 @@ class MedNeXt(nn.Module):
         # returned as [full-res, 1/2, 1/4, 1/8, 1/16].
         ds_out = []
         if self.deep_supervision:
-            ds_out.append(nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
-                                  name="ds4")(x))
+            ds_out.append(_pw(self.num_classes, dtype=self.dtype,
+                              name="ds4")(x))
         for s in range(4):  # decoder stages, deep to shallow
             c_out = n * (2 ** (3 - s))
             x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True, mode="up",
@@ -149,9 +191,9 @@ class MedNeXt(nn.Module):
                 x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True,
                                  dtype=self.dtype, name=f"dec{s}_{b}")(x)
             if self.deep_supervision and s < 3:
-                ds_out.append(nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
-                                      name=f"ds{3 - s}")(x))
-        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(x)
+                ds_out.append(_pw(self.num_classes, dtype=self.dtype,
+                                  name=f"ds{3 - s}")(x))
+        logits = _pw(self.num_classes, dtype=self.dtype, name="out")(x)
         logits = to_channels_first(logits).astype(jnp.float32)
         if self.deep_supervision:
             pyramid = [logits] + [to_channels_first(d).astype(jnp.float32)

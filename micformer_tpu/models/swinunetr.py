@@ -21,15 +21,28 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+import os as _os
+
 from micformer_tpu.models.layers import (
     SwinBlock3D,
     PatchEmbed3D,
     PatchMergingLinear,
     InstanceNorm,
+    Conv3x3ViaDot,
+    ConvTranspose2x2ViaDot,
     to_channels_last,
     to_channels_first,
 )
 from micformer_tpu import registry
+
+# A/B (round 4, default ON): the UNETR conv path (ResConvBlocks at full/half
+# resolution with 12-24 channels) as shifted-dot convs + depth-to-space
+# transpose convs. lax.conv at these channel counts makes XLA pick
+# spatial-minor layouts, inserting full-tensor copies and pad-masked
+# InstanceNorm reduce fusions (~77% of device time was copies+masked
+# reductions, benchmarks/RESULTS.md round 4). Param trees are bit-compatible
+# with the nn.Conv/nn.ConvTranspose forms.
+RESCONV_VIA_DOT = _os.environ.get("MICFORMER_RESCONV_VIA_DOT", "1") == "1"
 
 
 class ResConvBlock(nn.Module):
@@ -39,12 +52,20 @@ class ResConvBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
 
+    def _conv3(self, name=None):
+        if RESCONV_VIA_DOT:
+            return Conv3x3ViaDot(self.features, kernel_layout="conv",
+                                 dtype=self.dtype, name=name)
+        return nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype,
+                       name=name)
+
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(x)
+        # names pin the param tree to the original nn.Conv layout
+        h = self._conv3(name="Conv_0")(x)
         h = InstanceNorm(affine=True, dtype=self.dtype)(h)
         h = nn.leaky_relu(h, 0.01)
-        h = nn.Conv(self.features, (3, 3, 3), padding=1, dtype=self.dtype)(h)
+        h = self._conv3(name="Conv_1")(h)
         h = InstanceNorm(affine=True, dtype=self.dtype)(h)
         res = x if x.shape[-1] == self.features else nn.Conv(
             self.features, (1, 1, 1), dtype=self.dtype, name="res")(x)
@@ -59,8 +80,13 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        x = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2),
-                             padding="VALID", dtype=self.dtype)(x)
+        if RESCONV_VIA_DOT:
+            x = ConvTranspose2x2ViaDot(self.features, dtype=self.dtype,
+                                       name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2),
+                                 padding="VALID", dtype=self.dtype,
+                                 name="ConvTranspose_0")(x)
         x = jnp.concatenate([x, skip], axis=-1)
         return ResConvBlock(self.features, dtype=self.dtype)(x)
 

@@ -28,6 +28,13 @@ are 2D-Swin ports that halve only H/W and re-shape D through hard-coded
 view(B, 32/D*8, ...) hacks (:412-536). Here merging/expansion are true 3D
 (8-neighborhood concat -> Linear(8C→2C); Linear(C→2C) -> 2³ pixel shuffle),
 matching the VT-UNet paper's intent and giving isotropic stage grids.
+
+`faithful_2d_merge=True` (round-4) reproduces the reference semantics
+exactly instead — H/W-only merge/expand with the reference's channel-block
+ordering, anisotropic stage grids (D stays at 32 while H,W walk 32→4) —
+which is what the hard-coded views compute for the 128³/patch-4 config;
+this mode carries full-model torch transplant parity
+(tests/test_torch_parity.py, docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -62,6 +69,48 @@ from micformer_tpu.ops.pe import sinusoidal_pe_3d
 from micformer_tpu import registry
 
 
+class PatchMerging2D(nn.Module):
+    """Faithful reference merge (vt_unet.py:412-448): halves H,W ONLY —
+    4-concat [(h0,w0),(h1,w0),(h0,w1),(h1,w1)] -> LayerNorm(4C) ->
+    Linear(4C->2C, no bias). The reference's torch F.pad branch never fires
+    on the MM-WHS grids (all even)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class PatchExpand2D(nn.Module):
+    """Faithful reference expand (vt_unet.py:451-506 PatchExpand /
+    PatchExpand_Up — identical math for the MM-WHS config, where the
+    hard-coded view(B, 32 | D*8, H, W, ·) equals the actual token count):
+    Linear(C->2C, no bias) -> H/W-only pixel shuffle with (p1, p2, c)
+    channel blocks -> LayerNorm(C/2)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="expand")(x)
+        c = (2 * C) // 4
+        x = x.reshape(B, D, H, W, 2, 2, c)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, D, 2 * H, 2 * W, c)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
 class VTWindowAttention(nn.Module):
     """Fused-qkv windowed MHA with rel-pos bias; optional decoder cross path
     against saved (prev_k, prev_v). Returns (x, x2, v, k, q)."""
@@ -70,6 +119,12 @@ class VTWindowAttention(nn.Module):
     window_size: tuple
     num_heads: int
     qkv_bias: bool = True
+    # the CONSTRUCTION window: the reference sizes its rel-pos table for the
+    # ctor window (7,7,7) and, when the runtime window is clamped to the grid,
+    # still slices the FULL-window index [:T,:T] (vt_unet.py:165-167,191-194)
+    # — the bias rows are then mixed-radix-inconsistent with the clamped
+    # window, a defect kept faithfully (weights were trained with it).
+    table_window: tuple | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,11 +135,11 @@ class VTWindowAttention(nn.Module):
                        name="qkv")(x)
         q, k, v = (split_heads(t, h) for t in jnp.split(qkv, 3, axis=-1))
 
-        wd, wh, ww = self.window_size
+        wd, wh, ww = self.table_window or self.window_size
         table = self.param(
             "rel_pos_bias_table", nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h))
-        idx = relative_position_index(self.window_size)[:T, :T]
+        idx = relative_position_index(self.table_window or self.window_size)[:T, :T]
         bias = table[idx.reshape(-1)].reshape(T, T, h).transpose(2, 0, 1)
 
         proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
@@ -132,7 +187,8 @@ class VTBlock(nn.Module):
         wins = window_partition(xn, ws)
 
         attn, attn2, v, k, q = VTWindowAttention(
-            self.dim, ws, self.num_heads, self.qkv_bias, dtype=self.dtype,
+            self.dim, ws, self.num_heads, self.qkv_bias,
+            table_window=tuple(self.window_size), dtype=self.dtype,
             name="attn")(wins, mask=mask, prev_v=prev_v, prev_k=prev_k,
                          is_decoder=is_decoder)
 
@@ -167,10 +223,13 @@ class VTUNet(nn.Module):
     window_size: tuple = (7, 7, 7)
     patch_size: tuple = (4, 4, 4)
     drop_path_rate: float = 0.1
+    faithful_2d_merge: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        Merge = PatchMerging2D if self.faithful_2d_merge else PatchMergingLinear
+        Expand = PatchExpand2D if self.faithful_2d_merge else PatchExpandLinear
         x = to_channels_last(x)
         x = PatchEmbed3D(self.embed_dim, self.patch_size, use_norm=True,
                          dtype=self.dtype, name="patch_embed")(x)
@@ -195,13 +254,13 @@ class VTUNet(nn.Module):
             kv1.append(s_kv1)
             kv2.append(s_kv2)
             if i < n - 1:
-                x = PatchMergingLinear(dim, dtype=self.dtype, name=f"merge{i}")(x)
+                x = Merge(dim, dtype=self.dtype, name=f"merge{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         # decoder: bottleneck expand, then stages with skip concat + cross-KV
-        x = PatchExpandLinear(self.embed_dim * 2 ** (n - 1), dtype=self.dtype,
-                              name="up0")(x)
+        x = Expand(self.embed_dim * 2 ** (n - 1), dtype=self.dtype,
+                   name="up0")(x)
         for inx in range(1, n):
             i = n - 1 - inx  # matching encoder stage
             dim = self.embed_dim * 2 ** i
@@ -217,7 +276,7 @@ class VTUNet(nn.Module):
                 x, _, _, _ = blk(x, prev_v=pv, prev_k=pk, is_decoder=True,
                                  deterministic=deterministic)
             if inx < n - 1:
-                x = PatchExpandLinear(dim, dtype=self.dtype, name=f"up{inx}")(x)
+                x = Expand(dim, dtype=self.dtype, name=f"up{inx}")(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
         x = FinalPatchExpand(self.embed_dim, scale=self.patch_size[0],

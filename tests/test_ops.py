@@ -321,3 +321,33 @@ def test_trilinear_saved_blocks_bwd_matches_row_bwd(rng):
     finally:
         warp_ops.BWD_SAVED_BLOCKS = prev
     np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+
+
+def test_dw_conv_stencil_matches_grouped_conv(rng):
+    """DepthwiseConv3D stencil lowering == lax.conv feature_group_count=C
+    for all three MedNeXt modes (same / stride-2 down / dilated up) and
+    kernel 5 (MedNeXt/nnunet_mednext/.../blocks.py:6-160 kernel options)."""
+    from micformer_tpu.models.layers import dw_conv_stencil, zero_dilate
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 9, 10, 6)).astype(np.float32))
+
+    def ref(x, w, stride=1, pad=None):
+        k = w.shape[0]
+        pad = [(k // 2, k // 2)] * 3 if pad is None else list(pad)
+        return jax.lax.conv_general_dilated(
+            x, w, (stride,) * 3, pad,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=x.shape[-1])
+
+    for k in (3, 5):
+        w = jnp.asarray(rng.normal(size=(k, k, k, 1, 6)).astype(np.float32))
+        for stride in (1, 2):
+            a = dw_conv_stencil(x, w, stride)
+            b = ref(x, w, stride)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+        xd = zero_dilate(x)
+        p = k // 2
+        a = dw_conv_stencil(xd, w, 1, ((p + 1, p),) * 3)
+        b = ref(xd, w, 1, ((p + 1, p),) * 3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -381,3 +381,39 @@ def test_param_count_matches_torch(micformer_parity_run):
     dead = sum(p.numel() for n, p in tmodel.named_parameters()
                if n.startswith("swin.concat_back_dim.0."))
     assert count_parameters(params) == torch_total - dead
+
+
+def test_vtunet_full_model_parity():
+    """FULL-MODEL VT-Unet transplant parity in faithful_2d_merge mode
+    (VERDICT r3 item 7): the reference SwinTransformerSys3D
+    (vt_unet.py:782-1118) with its 2D-port PatchMerging/PatchExpand hacks
+    (:412-536, hard-coded view(B, 32, ...) -> token depth pinned to 32) vs
+    flax VTUNet(faithful_2d_merge=True). img (128,64,64), embed 48 keeps the
+    CPU budget sane while exercising window clamping, the full-window
+    rel-pos-table slicing quirk, and every decoder stage."""
+    import torch
+    from micformer_tpu.convert.zoo_import import (
+        load_reference_vtunet, vtunet_params_from_torch)
+    from micformer_tpu.models.vtunet import VTUNet
+
+    torch.manual_seed(3)
+    tmodel = load_reference_vtunet(img_size=(128, 64, 64), in_chans=2,
+                                   num_classes=8, embed_dim=48)
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if hasattr(m, "relative_position_bias_table"):
+                m.relative_position_bias_table.mul_(20.0)  # load-bearing rpe
+    params = vtunet_params_from_torch(tmodel.state_dict())
+    fmodel = VTUNet(num_classes=8, embed_dim=48, depths=(2, 2, 2, 1),
+                    num_heads=(3, 6, 12, 24), window_size=(7, 7, 7),
+                    patch_size=(4, 4, 4), faithful_2d_merge=True)
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1, 2, 128, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 1e-4, f"max abs err {err:.2e}"
