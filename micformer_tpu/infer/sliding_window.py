@@ -20,6 +20,7 @@ hard-part 3). Mirror TTA folds the 8 flips into one batched predictor call.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import numpy as np
@@ -94,6 +95,21 @@ def _tile_starts(image_size, roi_size, mode: str, overlap: float, step_size: flo
     return coords
 
 
+def _flip_flags(mirror_axes):
+    """All flip subsets of the mirror axes as a [F, 3] bool array (the
+    nnU-Net 8-way ensemble enumeration, neural_network.py:501-559)."""
+    import itertools
+
+    subsets = []
+    for r in range(len(mirror_axes) + 1):
+        subsets.extend(itertools.combinations(mirror_axes, r))
+    flags = np.zeros((len(subsets), 3), bool)
+    for i, sub in enumerate(subsets):
+        for a in sub:
+            flags[i, a] = True
+    return flags
+
+
 def _mirror_tta_predictor(predictor: Callable, mirror_axes=(0, 1, 2)) -> Callable:
     """Wrap predictor with the nnU-Net 8-way mirror ensemble
     (neural_network.py:501-559): average of unflip(predict(flip(x))) over all
@@ -147,6 +163,12 @@ def sliding_window_inference(
     sw_batch_size: int = 1,
     mirror_tta: bool = False,
     mirror_axes=(0, 1, 2),
+    # batched TTA (round 4, default ON): the flip variants of a tile are
+    # shape-identical, so they ride the predictor's batch axis — ONE forward
+    # at batch F·sw_batch instead of a scan of F serial forwards (the scan
+    # protocol ran ~11x slower than plain inference, VERDICT r3 item 6).
+    # False restores the serial scan (lower peak activation memory).
+    tta_batched: bool = True,
     sigma_scale: float = 1.0 / 8,
 ) -> jnp.ndarray:
     """Blended tiled prediction of a full volume.
@@ -169,8 +191,12 @@ def sliding_window_inference(
     coords = _tile_starts(padded, roi, step_mode, overlap, step_size)
     n_tiles = coords.shape[0]
 
+    tta_flags = None
     if mirror_tta:
-        predictor = _mirror_tta_predictor(predictor, mirror_axes)
+        if tta_batched and os.environ.get("MICFORMER_TTA_BATCHED", "1") == "1":
+            tta_flags = _flip_flags(mirror_axes)        # static [F, 3]
+        else:
+            predictor = _mirror_tta_predictor(predictor, mirror_axes)
 
     if blend == "gaussian":
         wmap = jnp.asarray(gaussian_importance_map(roi, sigma_scale))
@@ -205,9 +231,24 @@ def sliding_window_inference(
             )
 
         windows = jax.vmap(read)(starts)                  # [chunk, B, C, *roi]
-        batch_in = windows.reshape((chunk * B, C) + roi)
-        preds = predictor(batch_in).astype(jnp.float32)
-        preds = preds.reshape((chunk, B, num_classes) + roi)
+        if tta_flags is not None:
+            # flips join the tile batch: one forward at batch F·chunk·B
+            def flip(t, flag):
+                axes = [a + 3 for a in range(3) if flag[a]]
+                return jnp.flip(t, axes) if axes else t
+
+            F = len(tta_flags)
+            variants = jnp.stack([flip(windows, f) for f in tta_flags], 0)
+            batch_in = variants.reshape((F * chunk * B, C) + roi)
+            preds = predictor(batch_in).astype(jnp.float32)
+            preds = preds.reshape((F, chunk, B, num_classes) + roi)
+            preds = jnp.stack(
+                [flip(preds[i], f) for i, f in enumerate(tta_flags)], 0
+            ).mean(axis=0)                                # [chunk, B, ncls, *roi]
+        else:
+            batch_in = windows.reshape((chunk * B, C) + roi)
+            preds = predictor(batch_in).astype(jnp.float32)
+            preds = preds.reshape((chunk, B, num_classes) + roi)
 
         def write(carry, inp2):
             la, wa = carry

@@ -109,3 +109,23 @@ def test_sliding_window_jits(rng):
     out = f(vol)
     assert out.shape == (1, 8, 24, 24, 24)
     np.testing.assert_allclose(np.asarray(out), np.asarray(vol[:, :1]) * 2 * np.ones((1, 8, 1, 1, 1)), atol=1e-4)
+
+
+def test_mirror_tta_batched_matches_scan(rng):
+    """The batched-TTA path (flips riding the predictor batch axis) must be
+    numerically equivalent to the serial-scan ensemble for an arbitrary
+    (non-equivariant) predictor."""
+    vol = jnp.asarray(rng.normal(size=(1, 2, 20, 18, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+
+    def predictor(x):  # non-equivariant: mixes a spatially-shifted copy
+        y = jnp.einsum("bcdhw,ck->bkdhw", x, w)
+        return y + 0.3 * jnp.roll(y, 1, axis=2)
+
+    a = sliding_window_inference(vol, (16, 16, 16), predictor,
+                                 num_classes=3, mirror_tta=True,
+                                 tta_batched=True)
+    b = sliding_window_inference(vol, (16, 16, 16), predictor,
+                                 num_classes=3, mirror_tta=True,
+                                 tta_batched=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
