@@ -451,6 +451,7 @@ class PatchEmbed3D(nn.Module):
     embed_dim: int
     patch_size: tuple = (4, 4, 4)
     use_norm: bool = True
+    via_dot: bool | None = None   # None = follow the EMBED_VIA_DOT global
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -459,7 +460,8 @@ class PatchEmbed3D(nn.Module):
                        padding="VALID", dtype=self.dtype)
         B, D, H, W, C = x.shape
         pd, ph, pw = self.patch_size
-        if EMBED_VIA_DOT and D % pd == 0 and H % ph == 0 and W % pw == 0:
+        use_dot = EMBED_VIA_DOT if self.via_dot is None else self.via_dot
+        if use_dot and D % pd == 0 and H % ph == 0 and W % pw == 0:
             # k = s = patch conv == space-to-depth + ONE MXU matmul. Same
             # param tree (the Conv is materialized by a dummy call); the
             # lax.conv form emitted ~4.6 ms/call of tiny [p,p,p,C,E]
@@ -561,6 +563,15 @@ class FinalPatchExpand(nn.Module):
 # Conv-family primitives (U-Net / MedNeXt / TransBTS / TransUNet)
 # ---------------------------------------------------------------------------
 
+# A/B (round 4): two-stage InstanceNorm statistics. XLA lowers the direct
+# jnp.mean/var over (D,H,W) as a single reduce that includes the minor (lane)
+# spatial dim — ~5 ms per full-resolution call on MedNeXt/SwinUNETR (the
+# cross-lane reduction runs at ~27 GB/s). Reducing the non-lane dims first
+# (one full-bandwidth pass to [B, W, C]) and finishing on the tiny remainder
+# is exact up to f32 summation order; variance via E[x²]−μ² in f32.
+IN_TWO_STAGE = _os.environ.get("MICFORMER_IN_TWO_STAGE", "1") == "1"
+
+
 class InstanceNorm(nn.Module):
     """InstanceNorm3d equivalent: per-(batch, channel) normalization over
     spatial dims. torch InstanceNorm3d default: affine=False, eps=1e-5."""
@@ -572,8 +583,17 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim - 1))
-        mean = jnp.mean(x, axes, keepdims=True)
-        var = jnp.var(x, axes, keepdims=True)
+        if IN_TWO_STAGE and x.ndim == 5:
+            n = x.shape[1] * x.shape[2] * x.shape[3]
+            xf = x.astype(jnp.float32)
+            s1 = jnp.sum(xf, (1, 2)).sum(1)                 # [B, C]
+            s2 = jnp.sum(jnp.square(xf), (1, 2)).sum(1)     # [B, C]
+            mean = (s1 / n)[:, None, None, None, :]
+            var = jnp.maximum(s2 / n - jnp.square(s1 / n), 0.0)[
+                :, None, None, None, :]
+        else:
+            mean = jnp.mean(x, axes, keepdims=True)
+            var = jnp.var(x, axes, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.affine:
             C = x.shape[-1]
@@ -810,6 +830,28 @@ class ConvTranspose2x2ViaDot(nn.Module):
 # multiply-adds in the SAME channel-minor layout as its neighbours: no
 # copies, negligible FLOPs (depthwise convs are bandwidth-, not FLOP-work).
 DW_STENCIL = _os.environ.get("MICFORMER_DW_STENCIL", "1") == "1"
+# A/B (round 4): stride-1 depthwise stencils as a Pallas plane-streaming
+# kernel — holds the 3 contributing planes in VMEM, HBM traffic 3+1 passes
+# per plane vs the XLA form's up-to-27 tap rereads (ops/pallas/dw_stencil.py).
+# Verdict: LOST −8% (mednext 128³ p50 0.1411 vs 0.1305 same protocol) — the
+# per-plane grid (128 steps × ~1 MB DMAs) and the dx·C=32 lane-offset slices
+# cost more than the rereads XLA evidently overlaps. Opt-in; do not retry
+# without packing multiple planes per grid step.
+DW_PALLAS = _os.environ.get("MICFORMER_DW_PALLAS", "0") == "1"
+
+
+def _dw_pallas_eligible(x) -> bool:
+    if not DW_PALLAS:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    # lane-packed plane [Hp, Wp·C] must fit VMEM comfortably (~2 MB each,
+    # 3 planes + out + double buffering)
+    B, D, H, W, C = x.shape
+    plane_bytes = (H + 2) * (W + 2) * C * x.dtype.itemsize
+    return platform not in ("cpu",) and D >= 4 and plane_bytes <= 2_500_000
 
 
 def dw_conv_stencil(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
@@ -988,6 +1030,11 @@ class DepthwiseConv3D(nn.Module):
         if self.transpose2:
             out = dw_transpose2_stencil(x.astype(self.dtype),
                                         w.astype(self.dtype))
+        elif (self.stride == 1 and self.pad is None
+              and _dw_pallas_eligible(x)):
+            from micformer_tpu.ops.pallas.dw_stencil import dw_conv3_pallas
+
+            out = dw_conv3_pallas(x.astype(self.dtype), w.astype(self.dtype))
         else:
             out = dw_conv_stencil(x.astype(self.dtype), w.astype(self.dtype),
                                   self.stride, self.pad)

@@ -30,19 +30,20 @@ from micformer_tpu.models.layers import (
     InstanceNorm,
     Conv3x3ViaDot,
     ConvTranspose2x2ViaDot,
+    PointwiseConv,
     to_channels_last,
     to_channels_first,
 )
 from micformer_tpu import registry
 
-# A/B (round 4, default ON): the UNETR conv path (ResConvBlocks at full/half
-# resolution with 12-24 channels) as shifted-dot convs + depth-to-space
-# transpose convs. lax.conv at these channel counts makes XLA pick
-# spatial-minor layouts, inserting full-tensor copies and pad-masked
-# InstanceNorm reduce fusions (~77% of device time was copies+masked
-# reductions, benchmarks/RESULTS.md round 4). Param trees are bit-compatible
-# with the nn.Conv/nn.ConvTranspose forms.
-RESCONV_VIA_DOT = _os.environ.get("MICFORMER_RESCONV_VIA_DOT", "1") == "1"
+# A/B (round 4): the UNETR conv path (ResConvBlocks at full/half resolution
+# with 12-24 channels) as shifted-dot convs + depth-to-space transpose convs,
+# param-tree bit-compatible with the nn.Conv/nn.ConvTranspose forms.
+# Verdict: SPLIT — p50 0.1180 -> 0.1088 (fewer dispatches) but pipelined
+# device throughput 14.80 -> 12.51 w/s (the 27 tap rereads cost more than
+# the conv layout copies they remove at C=12). Default OFF: the zoo serving
+# metric is device throughput. Opt-in for latency-sensitive single calls.
+RESCONV_VIA_DOT = _os.environ.get("MICFORMER_RESCONV_VIA_DOT", "0") == "1"
 
 
 class ResConvBlock(nn.Module):
@@ -67,8 +68,13 @@ class ResConvBlock(nn.Module):
         h = nn.leaky_relu(h, 0.01)
         h = self._conv3(name="Conv_1")(h)
         h = InstanceNorm(affine=True, dtype=self.dtype)(h)
-        res = x if x.shape[-1] == self.features else nn.Conv(
-            self.features, (1, 1, 1), dtype=self.dtype, name="res")(x)
+        if x.shape[-1] == self.features:
+            res = x
+        elif RESCONV_VIA_DOT:
+            res = PointwiseConv(self.features, dtype=self.dtype, name="res")(x)
+        else:
+            res = nn.Conv(self.features, (1, 1, 1), dtype=self.dtype,
+                          name="res")(x)
         return nn.leaky_relu(h + res, 0.01)
 
 
@@ -105,8 +111,10 @@ class SwinUNETR(nn.Module):
         x_in = to_channels_last(x)
         F = self.feature_size
 
-        # SwinViT with patch size 2
-        h = PatchEmbed3D(F, (2, 2, 2), use_norm=False, dtype=self.dtype,
+        # SwinViT with patch size 2 (space-to-depth matmul: keeps the conv
+        # layout islands out of the full-res path)
+        h = PatchEmbed3D(F, (2, 2, 2), use_norm=False,
+                         via_dot=RESCONV_VIA_DOT or None, dtype=self.dtype,
                          name="patch_embed")(x_in)
         hiddens = [h]
         for i in range(4):
@@ -130,7 +138,10 @@ class SwinUNETR(nn.Module):
         d = UpBlock(2 * F, dtype=self.dtype, name="decoder3")(d, enc2)
         d = UpBlock(F, dtype=self.dtype, name="decoder2")(d, enc1)
         d = UpBlock(F, dtype=self.dtype, name="decoder1")(d, enc0)
-        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(d)
+        head = (PointwiseConv if RESCONV_VIA_DOT else
+                lambda f, dtype, name: nn.Conv(f, (1, 1, 1), dtype=dtype,
+                                               name=name))
+        out = head(self.num_classes, dtype=self.dtype, name="out")(d)
         return to_channels_first(out).astype(jnp.float32)
 
 

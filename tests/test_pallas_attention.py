@@ -110,3 +110,26 @@ def test_v2_grad_matches_einsum(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gv, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+@pytest.mark.slow  # re-tier r4: >30s on the fast tier
+def test_dw_conv3_pallas_matches_stencil():
+    """Pallas depthwise plane-streaming kernel (ops/pallas/dw_stencil.py) ==
+    the XLA shift-and-add form, forward and both gradients, k=3 and k=5."""
+    from micformer_tpu.ops.pallas.dw_stencil import dw_conv3_pallas
+    from micformer_tpu.models.layers import dw_conv_stencil
+
+    rng = np.random.default_rng(0)
+    for shape, k in [((2, 6, 8, 10, 5), 3), ((1, 4, 6, 6, 7), 5)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, k, 1, shape[-1])).astype(np.float32))
+        a = dw_conv3_pallas(x, w, True)
+        b = dw_conv_stencil(x, w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        g = jnp.asarray(rng.normal(size=a.shape).astype(np.float32))
+        g1 = jax.grad(lambda x, w: jnp.vdot(dw_conv3_pallas(x, w, True), g),
+                      (0, 1))(x, w)
+        g2 = jax.grad(lambda x, w: jnp.vdot(dw_conv_stencil(x, w), g),
+                      (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-3)
