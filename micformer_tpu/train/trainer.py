@@ -348,8 +348,7 @@ class Trainer:
                 # call (the optimizer-state structure needs a live state).
                 cache = {}
 
-                def z1_step(state, images, labels, key,
-                            _cache=cache, _fn=train_step):
+                def _z1_jit(state, _cache=cache, _fn=train_step):
                     if "jit" not in _cache:
                         from micformer_tpu.parallel.mesh import zero1_shardings
 
@@ -364,8 +363,14 @@ class Trainer:
                             out_shardings=(st_sh, None),
                             **donate,
                         )
-                    return _cache["jit"](state, images, labels, key)
+                    return _cache["jit"]
 
+                def z1_step(state, images, labels, key):
+                    return _z1_jit(state)(state, images, labels, key)
+
+                # the jitted inner step, for AOT .lower() checks (the full-
+                # size GSPMD lowering check in __graft_entry__.py)
+                z1_step.get_jit = _z1_jit
                 self.train_step = z1_step
             else:
                 self.train_step = jax.jit(
