@@ -137,6 +137,11 @@ def main(argv=None):
                    choices=["thread", "process"],
                    help="process = forked preprocessing workers (reference "
                         "predict.py:35-93 mp.Process queue equivalent)")
+    p.add_argument("--overlays", action="store_true",
+                   help="also write a {pid}_overlay.png per case: color "
+                        "segmentation overlay on the max-foreground axial "
+                        "slice (overlay_plots.py parity, "
+                        "MedNeXt/nnunet_mednext/utilities/overlay_plots.py)")
     p.add_argument("--native-geometry", action="store_true",
                    help="resize predictions back to each case's stored crop "
                         "geometry before export (generate_segmentations "
@@ -250,6 +255,7 @@ def main(argv=None):
                 os.path.join(args.out, f"{s['patient_id']}_softmax.npz"),
                 softmax=np.asarray(probs[0], np.float16))
         seg = np.asarray(jnp.argmax(probs, axis=1))[0].astype(np.uint8)
+        seg_model_space = seg  # for overlays: same grid as `img`
         if args.save_seg_for_next_stage:
             np.save(os.path.join(
                 args.out, f"{s['patient_id']}_segFromPrevStage.npy"), seg)
@@ -274,6 +280,11 @@ def main(argv=None):
             seg = remove_all_but_largest_cc(seg)
         out_path = os.path.join(args.out, f"{s['patient_id']}_pred.nii.gz")
         write_nifti(out_path, seg, affine=affine)
+        if args.overlays:
+            from micformer_tpu.train.logging import save_overlay_png
+
+            save_overlay_png(img, seg_model_space, os.path.join(
+                args.out, f"{s['patient_id']}_overlay.png"))
         print(f"{s['patient_id']}: wrote {out_path}")
 
 

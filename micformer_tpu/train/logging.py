@@ -96,6 +96,59 @@ def slice_montage(volume: np.ndarray, n_slices: int = 8, axis: int = 0) -> np.nd
     return np.concatenate(list(sl), axis=1)[..., None]
 
 
+# nnU-Net's overlay color cycle (overlay_plots.py color_cycle) — label 0 is
+# background/black; distinct hues for up to 14 foreground classes.
+_OVERLAY_COLORS = (
+    "000000", "4363d8", "f58231", "3cb44b", "e6194B", "911eb4", "ffe119",
+    "bfef45", "42d4f4", "f032e6", "000075", "9A6324", "808000", "800000",
+    "469990",
+)
+
+
+def overlay_slice(image_2d: np.ndarray, seg_2d: np.ndarray,
+                  intensity: float = 0.6) -> np.ndarray:
+    """Color segmentation overlay on one grayscale slice → uint8 [H, W, 3]
+    (MedNeXt/nnunet_mednext/utilities/overlay_plots.py generate_overlay:
+    image rescaled to [0,255], per-label additive color at `intensity`,
+    rescaled again)."""
+    img = np.asarray(image_2d, np.float32)
+    img = img - img.min()
+    img = img / (img.max() + 1e-8) * 255.0
+    rgb = np.tile(img[:, :, None], (1, 1, 3))
+    for lab in np.unique(seg_2d):
+        hexcol = _OVERLAY_COLORS[int(lab) % len(_OVERLAY_COLORS)]
+        col = np.array([int(hexcol[i:i + 2], 16) for i in (0, 2, 4)], np.float32)
+        rgb[seg_2d == lab] += intensity * col
+    rgb = rgb / (rgb.max() + 1e-8) * 255.0
+    return rgb.astype(np.uint8)
+
+
+def save_overlay_png(image: np.ndarray, seg: np.ndarray, path: str,
+                     intensity: float = 0.6) -> int:
+    """Pick the axial slice with the most foreground (overlay_plots.py
+    plot_overlay: argmax of per-slice fg count), overlay, write a PNG.
+    `image` [D,H,W] or [C,D,H,W] (channel 0 used); `seg` [D,H,W] labels.
+    Returns the selected slice index."""
+    img = np.asarray(image)
+    if img.ndim == 4:
+        img = img[0]
+    seg = np.asarray(seg)
+    k = int(np.argmax((seg != 0).sum(axis=(1, 2))))
+    rgb = overlay_slice(img[k], seg[k], intensity)
+    try:
+        from PIL import Image
+
+        Image.fromarray(rgb).save(path)
+    except Exception:  # PIL unavailable: matplotlib fallback
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, rgb)
+    return k
+
+
 def export_csv(rows: list[dict], path: str):
     """utils.py:290-302-style pandas-to-csv parity without pandas."""
     if not rows:

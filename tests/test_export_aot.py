@@ -3,6 +3,7 @@
 import json
 import os
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -19,6 +20,7 @@ def _tiny_model_and_params():
     return model, variables["params"]
 
 
+@pytest.mark.slow  # re-tier r4: >30s on the fast tier
 def test_export_roundtrip_argmax(tmp_path):
     model, params = _tiny_model_and_params()
     art = str(tmp_path / "artifact")
@@ -41,6 +43,7 @@ def test_export_roundtrip_argmax(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # re-tier r4: >30s on the fast tier
 def test_export_roundtrip_logits(tmp_path):
     model, params = _tiny_model_and_params()
     art = str(tmp_path / "artifact")
@@ -60,6 +63,7 @@ def test_export_roundtrip_logits(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=5e-4)
 
 
+@pytest.mark.slow  # re-tier r4: >30s on the fast tier
 def test_artifact_version_guard(tmp_path):
     model, params = _tiny_model_and_params()
     art = str(tmp_path / "artifact")

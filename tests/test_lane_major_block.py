@@ -178,6 +178,7 @@ def test_micformer_forward_parity_with_lane_flags(rng):
     np.testing.assert_allclose(np.asarray(base), np.asarray(lane), atol=5e-5)
 
 
+@pytest.mark.slow  # re-tier r4: >30s on the fast tier
 def test_offset_lane_tail_parity(rng):
     """CrossBlock3D offset-net tail (LN+GELU+1x1 conv) in [F, M] lane-major
     layout must match the channels-last path — forward and per-parameter

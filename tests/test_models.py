@@ -17,6 +17,7 @@ def _forward(name, shape=(1, 2, 32, 32, 32), **kw):
     return model, variables, out
 
 
+@pytest.mark.slow  # re-tier r4: >30s on the fast tier
 def test_unet3d_shapes():
     _, _, out = _forward("unet3d")
     assert out.shape == (1, 8, 32, 32, 32)

@@ -416,4 +416,5 @@ def test_vtunet_full_model_parity():
         lambda p, v: fmodel.apply({"params": p}, v))(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     err = np.abs(got - ref).max()
+    print(f"vtunet full-model transplant: max abs err {err:.2e}")
     assert err < 1e-4, f"max abs err {err:.2e}"

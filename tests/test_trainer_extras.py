@@ -108,3 +108,24 @@ def test_run_export(tmp_path):
     rows = open(out).read().splitlines()
     assert rows[0] == "run,metric,step,value"
     assert any(r.startswith("run1,val/meandice,2,0.7") for r in rows)
+
+
+def test_overlay_png(tmp_path):
+    """overlay_plots.py parity: max-foreground slice selection + additive
+    color overlay, PNG written (utilities/overlay_plots.py plot_overlay)."""
+    from micformer_tpu.train.logging import overlay_slice, save_overlay_png
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 8, 16, 16)).astype(np.float32)
+    seg = np.zeros((8, 16, 16), np.uint8)
+    seg[5, 4:12, 4:12] = 3      # slice 5 has the most foreground
+    seg[2, 0, 0] = 1
+    path = str(tmp_path / "ov.png")
+    k = save_overlay_png(img, seg, path)
+    assert k == 5
+    assert path and __import__("os").path.getsize(path) > 0
+    rgb = overlay_slice(img[0, 5], seg[5])
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+    # labeled region must be colored (channels differ); background grayscale
+    assert not np.all(rgb[8, 8, 0] == rgb[8, 8, 2])
+    assert rgb[0, 0, 0] == rgb[0, 0, 1] == rgb[0, 0, 2]
