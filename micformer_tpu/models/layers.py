@@ -838,6 +838,17 @@ DW_STENCIL = _os.environ.get("MICFORMER_DW_STENCIL", "1") == "1"
 # cost more than the rereads XLA evidently overlaps. Opt-in; do not retry
 # without packing multiple planes per grid step.
 DW_PALLAS = _os.environ.get("MICFORMER_DW_PALLAS", "0") == "1"
+# A/B (round 4 continuation): deferred-interleave MedNeXt up block. The up
+# block's norm/expand/GELU/compress and residual add are all parity-agnostic
+# (pointwise or per-channel), so the block can run in the blocked parity
+# layout [B, D, H, W, 8, C] end to end and pay ONE spatial interleave at the
+# COMPRESSED width instead of two (dw output at C + residual at F).
+# Verdict: LOST −3.5% throughput, p50 neutral (0.1374/0.1312 base vs
+# 0.1378/0.1338; 9.61/9.65 vs 9.28/9.30 w/s, ABAB rounds) — stacking the
+# classes on the W-adjacent axis IS the interleave-class data movement, so
+# the transposes were relocated, not removed. Kept opt-in (exact math,
+# parity-tested); do not retry without changing the minor-dim tiling too.
+UP_BLOCKED = _os.environ.get("MICFORMER_UP_BLOCKED", "0") == "1"
 
 
 def _dw_pallas_eligible(x) -> bool:
@@ -915,14 +926,31 @@ def _dw_conv_stencil_s2(x, w, pad):
     return out
 
 
-def dw_transpose2_stencil(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise stride-2 transpose conv (k odd), output exactly 2L per axis
-    == dw_conv_stencil(zero_dilate(x), w, pad=((p+1, p),)*3) — the MedNeXt
-    up-block's fused form (blocks.py:113-147) — but computed per output
-    parity class on the SMALL input: no dilated-tensor traffic, no gathers.
+def parity_interleave(x6: jnp.ndarray) -> jnp.ndarray:
+    """[B, D, H, W, 8, C] parity-class tensor -> [B, 2D, 2H, 2W, C].
 
-    out[o] = Σ_t w[t]·xd[o+t-(p+1)], xd = zero-dilated x; for o = 2q+π only
-    taps with (π+t-p-1) even survive, reading x[q + (π+t-p-1)//2]."""
+    Class axis ordered (pz, py, px) z-major: out[b, 2d+pz, 2h+py, 2w+px, c]
+    = x6[b, d, h, w, (pz, py, px), c]. The single spatial interleave
+    transpose of the blocked up/space-to-depth paths."""
+    B, D, H, W, P, C = x6.shape
+    out = x6.reshape(B, D, H, W, 2, 2, 2, C)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return out.reshape(B, 2 * D, 2 * H, 2 * W, C)
+
+
+def parity_block(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of parity_interleave: [B, 2D, 2H, 2W, C] -> [B, D, H, W, 8, C]
+    (space-to-depth by 2 with the class axis kept explicit)."""
+    B, D2, H2, W2, C = x.shape
+    x = x.reshape(B, D2 // 2, 2, H2 // 2, 2, W2 // 2, 2, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, D2 // 2, H2 // 2, W2 // 2, 8, C)
+
+
+def dw_transpose2_blocked(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """dw_transpose2_stencil stopped BEFORE the spatial interleave: returns
+    the eight parity classes stacked as [B, D, H, W, 8, C] (class axis
+    ordered (pz, py, px) z-major, matching parity_interleave)."""
     B, D, H, W, C = x.shape
     k = w.shape[0]
     lo = k // 2 + 1
@@ -948,11 +976,18 @@ def dw_transpose2_stencil(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                                                          None, :]
                             acc = term if acc is None else acc + term
                 classes.append(acc)
-    out = jnp.stack(classes, axis=4)                    # [B,D,H,W,8,C]
-    out = out.reshape(B, D, H, W, 2, 2, 2, C)
-    out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, 2 * D, 2 * H,
-                                                        2 * W, C)
-    return out
+    return jnp.stack(classes, axis=4)                   # [B,D,H,W,8,C]
+
+
+def dw_transpose2_stencil(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise stride-2 transpose conv (k odd), output exactly 2L per axis
+    == dw_conv_stencil(zero_dilate(x), w, pad=((p+1, p),)*3) — the MedNeXt
+    up-block's fused form (blocks.py:113-147) — but computed per output
+    parity class on the SMALL input: no dilated-tensor traffic, no gathers.
+
+    out[o] = Σ_t w[t]·xd[o+t-(p+1)], xd = zero-dilated x; for o = 2q+π only
+    taps with (π+t-p-1) even survive, reading x[q + (π+t-p-1)//2]."""
+    return parity_interleave(dw_transpose2_blocked(x, w))
 
 
 class PointwiseConv(nn.Module):
@@ -987,9 +1022,14 @@ class PointwiseTranspose2(nn.Module):
     """1³ conv over a lead-padded zero-dilated input (the MedNeXt up-block
     residual, blocks.py:137-146 default form), computed as one matmul on the
     SMALL input + a parity interleave: out[2q+1] = W·x[q]+b on the all-odd
-    parity class, bias everywhere else. Param tree == nn.Conv((1,1,1))."""
+    parity class, bias everywhere else. Param tree == nn.Conv((1,1,1)).
+
+    blocked_out=True returns the [B, D, H, W, 8, F] parity-class stack
+    (parity_interleave ordering) instead of interleaving — the deferred-
+    interleave up-block path adds it to the main branch and interleaves once."""
 
     features: int
+    blocked_out: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -1003,9 +1043,10 @@ class PointwiseTranspose2(nn.Module):
                        w[0, 0, 0].astype(self.dtype)) + b
         bias_field = jnp.broadcast_to(b, (B, D, H, W, F))
         classes = [bias_field] * 7 + [y]          # (0,0,0)..(1,1,0), (1,1,1)
-        out = jnp.stack(classes, axis=4).reshape(B, D, H, W, 2, 2, 2, F)
-        return out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-            B, 2 * D, 2 * H, 2 * W, F)
+        out = jnp.stack(classes, axis=4)          # [B,D,H,W,8,F]
+        if self.blocked_out:
+            return out
+        return parity_interleave(out)
 
 
 class DepthwiseConv3D(nn.Module):
@@ -1017,6 +1058,7 @@ class DepthwiseConv3D(nn.Module):
     stride: int = 1          # 1 | 2; ignored when transpose2
     pad: tuple | None = None
     transpose2: bool = False  # stride-2 transpose conv (2x upsample)
+    blocked_out: bool = False  # transpose2: return [B,D,H,W,8,C] classes
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -1027,7 +1069,10 @@ class DepthwiseConv3D(nn.Module):
         k = self.kernel
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k, k, k, 1, C))
-        if self.transpose2:
+        if self.transpose2 and self.blocked_out:
+            out = dw_transpose2_blocked(x.astype(self.dtype),
+                                        w.astype(self.dtype))
+        elif self.transpose2:
             out = dw_transpose2_stencil(x.astype(self.dtype),
                                         w.astype(self.dtype))
         elif (self.stride == 1 and self.pad is None

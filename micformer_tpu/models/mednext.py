@@ -26,10 +26,12 @@ import flax.linen as nn
 
 from micformer_tpu.models.layers import (
     DW_STENCIL,
+    UP_BLOCKED,
     DepthwiseConv3D,
     InstanceNorm,
     PointwiseConv,
     PointwiseTranspose2,
+    parity_interleave,
     to_channels_last,
     to_channels_first,
     zero_dilate,
@@ -62,6 +64,9 @@ class MedNeXtBlock(nn.Module):
         C = x.shape[-1]
         k = (self.kernel,) * 3
         p = self.kernel // 2
+        if (self.mode == "up" and DW_STENCIL and not self.faithful_up
+                and UP_BLOCKED):
+            return self._up_blocked(x, C)
         if self.mode == "down":
             if DW_STENCIL:
                 h = DepthwiseConv3D(C, self.kernel, stride=2,
@@ -132,6 +137,32 @@ class MedNeXtBlock(nn.Module):
                 res = x
             h = h + res
         return h
+
+    def _up_blocked(self, x, C):
+        """Deferred-interleave up block (MICFORMER_UP_BLOCKED, round-4 A/B).
+
+        Same math as the default stencil up path: norm / expand / GELU /
+        compress are per-channel (parity-agnostic), so the block runs in the
+        blocked parity layout [B, D, H, W, 8, C] — a free 5D view
+        [B, D, H, W·8, C] for the existing modules — and pays ONE spatial
+        interleave at the COMPRESSED width instead of two (dw output at C +
+        residual at F). Parameter tree identical (same modules, same names,
+        same call order). Differs from the interleaved form only by f32
+        reduction order inside the InstanceNorm statistics."""
+        B, D, H, W, _ = x.shape
+        F = self.out_channels
+        h = DepthwiseConv3D(C, self.kernel, transpose2=True, blocked_out=True,
+                            dtype=self.dtype, name="dw")(x)   # [B,D,H,W,8,C]
+        h = h.reshape(B, D, H, W * 8, C)                      # free view
+        h = InstanceNorm(affine=True, dtype=self.dtype, name="norm")(h)
+        h = _pw(self.exp_r * C, dtype=self.dtype, name="expand")(h)
+        h = nn.gelu(h, approximate=False)
+        h = _pw(F, dtype=self.dtype, name="compress")(h)
+        h = h.reshape(B, D, H, W, 8, F)
+        if self.do_res:
+            h = h + PointwiseTranspose2(F, blocked_out=True, dtype=self.dtype,
+                                        name="res")(x)
+        return parity_interleave(h)
 
 
 _SIZES = {

@@ -323,6 +323,40 @@ def test_trilinear_saved_blocks_bwd_matches_row_bwd(rng):
     np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
 
 
+def test_mednext_up_blocked_parity(rng):
+    """MICFORMER_UP_BLOCKED (deferred-interleave MedNeXt up block) ==
+    the default stencil up path with the SAME parameters: the blocked form
+    runs norm/expand/GELU/compress in the [B,D,H,W,8,C] parity layout and
+    interleaves once at the end — exact same math up to the f32 reduction
+    order inside the InstanceNorm statistics."""
+    from micformer_tpu.models import mednext as mn
+    from micformer_tpu.models.layers import parity_block, parity_interleave
+
+    x = jnp.asarray(rng.normal(size=(2, 4, 5, 6, 8)).astype(np.float32))
+    # parity_block is the exact inverse of parity_interleave
+    y = jnp.asarray(rng.normal(size=(1, 8, 10, 12, 3)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(parity_interleave(parity_block(y))),
+                                  np.asarray(y))
+
+    block = mn.MedNeXtBlock(out_channels=12, exp_r=2, mode="up")
+    variables = block.init(jax.random.key(0), x)
+    prev = mn.UP_BLOCKED
+    try:
+        mn.UP_BLOCKED = False
+        want = block.apply(variables, x)
+        mn.UP_BLOCKED = True
+        got = block.apply(variables, x)
+        # param tree identical under the flag
+        v2 = block.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(v2)
+    finally:
+        mn.UP_BLOCKED = prev
+    assert got.shape == want.shape == (2, 8, 10, 12, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_dw_conv_stencil_matches_grouped_conv(rng):
     """DepthwiseConv3D stencil lowering == lax.conv feature_group_count=C
     for all three MedNeXt modes (same / stride-2 down / dilated up) and
