@@ -40,6 +40,18 @@ from micformer_tpu.models.layers import (
 
 from micformer_tpu import registry
 
+import os as _os
+
+# A/B (round 4 continuation): W-axis channel packing for the full-resolution
+# stages. MedNeXt-S runs every 128³ tensor at C=32 — 32/128 lanes live, so
+# the dw stencil / IN / GELU / residual class pays a ~4x bandwidth penalty
+# (the round-4 floor assessment puts 4 full-res same-blocks at 28 ms of the
+# ~100 ms call). Packing S=4 W positions into channels ([B,D,H,W,32] ->
+# [B,D,H,W/4,128], ops/wpack.py) makes every elementwise/stencil op
+# full-lane; the W taps of the dw conv become slot shifts built once.
+# Exact reformulation; param tree unchanged (same modules, dummy-called).
+MN_WPACK = _os.environ.get("MICFORMER_MEDNEXT_WPACK", "0") == "1"
+
 
 def _pw(features, stride=1, dtype=jnp.float32, name=None):
     """1³ conv: einsum form when the stencil profile is on (nn.Conv param
@@ -165,6 +177,59 @@ class MedNeXtBlock(nn.Module):
         return parity_interleave(h)
 
 
+class MedNeXtBlockW(nn.Module):
+    """MedNeXtBlock mode='same' on a W-packed tensor [B, D, H, W/S, S·C]
+    (param tree == MedNeXtBlock: dw / norm / expand / compress; the same-mode
+    residual is the identity). All ops run at full lane width; see MN_WPACK."""
+
+    out_channels: int
+    exp_r: int = 4
+    kernel: int = 3
+    S: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, P):
+        from micformer_tpu.ops import wpack
+
+        S, dt = self.S, self.dtype
+        C = P.shape[-1] // S
+        assert C == self.out_channels, "same-blocks keep channels"
+
+        dw = DepthwiseConv3D(C, self.kernel, dtype=dt, name="dw")
+        _ = dw(jnp.zeros((1, 1, 1, 1, C), P.dtype))
+        pr = dw.variables["params"]
+        h = wpack.dw_conv_wpack(P.astype(dt), pr["kernel"].astype(dt), S)
+        h = h + jnp.tile(pr["bias"].astype(dt), S)
+
+        norm = InstanceNorm(affine=True, dtype=dt, name="norm")
+        _ = norm(jnp.zeros((1, 1, 1, 1, C), h.dtype))
+        npr = norm.variables["params"]
+        h = wpack.instance_norm_wpack(h, S, npr["scale"], npr["bias"])
+
+        def pw(name, h, F):
+            mod = _pw(F, dtype=dt, name=name)
+            _ = mod(jnp.zeros((1, 1, 1, 1, h.shape[-1] // S), h.dtype))
+            mpr = mod.variables["params"]
+            y = wpack.pointwise_wpack(h.astype(dt),
+                                      mpr["kernel"][0, 0, 0].astype(dt),
+                                      S, (h.shape[-1] // S,))
+            return y + jnp.tile(mpr["bias"].astype(dt), S)
+
+        h = pw("expand", h, self.exp_r * C)
+        h = nn.gelu(h, approximate=False)
+        h = pw("compress", h, C)
+        return h + P
+
+
+def _mn_slots(W: int, C: int, k: int) -> int:
+    """Slot count for the packed MedNeXt path: S·C <= 128, S | W, S > k//2."""
+    S = 1
+    while S < 8 and 2 * S * C <= 128 and W % (2 * S) == 0:
+        S *= 2
+    return S if S > k // 2 else 1
+
+
 _SIZES = {
     "S": dict(exp_r=[2] * 9, block_counts=[2] * 9),
     "B": dict(exp_r=[2, 3, 4, 4, 4, 4, 4, 3, 2], block_counts=[2] * 9),
@@ -188,11 +253,35 @@ class MedNeXt(nn.Module):
         x = to_channels_last(x)
         n = self.n_channels
         er, bc = list(self.exp_r), list(self.block_counts)
-        x = _pw(n, dtype=self.dtype, name="stem")(x)
+        # W-packed full-resolution segments (MN_WPACK): stem + enc0 blocks,
+        # and dec3 blocks + head below. Exact reformulation, same param tree.
+        S = (_mn_slots(x.shape[3], n, self.kernel)
+             if (MN_WPACK and DW_STENCIL) else 1)
+        if S > 1:
+            from micformer_tpu.ops import wpack
 
-        skips = []
-        # encoder stages 0..3 + downs, bottleneck stage 4
-        for s in range(4):
+            stem = _pw(n, dtype=self.dtype, name="stem")
+            _ = stem(jnp.zeros((1, 1, 1, 1, x.shape[-1]), x.dtype))
+            pr = stem.variables["params"]
+            P = wpack.pointwise_wpack(wpack.pack(x, S).astype(self.dtype),
+                                      pr["kernel"][0, 0, 0].astype(self.dtype),
+                                      S, (x.shape[-1],))
+            P = P + jnp.tile(pr["bias"].astype(self.dtype), S)
+            for b in range(bc[0]):
+                P = MedNeXtBlockW(n, er[0], self.kernel, S, dtype=self.dtype,
+                                  name=f"enc0_{b}")(P)
+            x = wpack.unpack(P, S)
+            skips = [P]
+        else:
+            x = _pw(n, dtype=self.dtype, name="stem")(x)
+            for b in range(bc[0]):
+                x = MedNeXtBlock(n, er[0], self.kernel, True, dtype=self.dtype,
+                                 name=f"enc0_{b}")(x)
+            skips = [x]
+        x = MedNeXtBlock(2 * n, er[1], self.kernel, True, mode="down",
+                         dtype=self.dtype, name="down0")(x)
+        # encoder stages 1..3 + downs, bottleneck stage 4
+        for s in range(1, 4):
             c = n * (2 ** s)
             for b in range(bc[s]):
                 x = MedNeXtBlock(c, er[s], self.kernel, True, dtype=self.dtype,
@@ -217,6 +306,13 @@ class MedNeXt(nn.Module):
             x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True, mode="up",
                              faithful_up=self.faithful_up,
                              dtype=self.dtype, name=f"up{s}")(x)
+            if s == 3 and S > 1:
+                # full-res decoder segment runs packed (skip is stored packed)
+                x = wpack.pack(x, S) + skips[0]
+                for b in range(bc[8]):
+                    x = MedNeXtBlockW(c_out, er[8], self.kernel, S,
+                                      dtype=self.dtype, name=f"dec3_{b}")(x)
+                continue
             x = x + skips[3 - s]
             for b in range(bc[5 + s]):
                 x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True,
@@ -224,7 +320,17 @@ class MedNeXt(nn.Module):
             if self.deep_supervision and s < 3:
                 ds_out.append(_pw(self.num_classes, dtype=self.dtype,
                                   name=f"ds{3 - s}")(x))
-        logits = _pw(self.num_classes, dtype=self.dtype, name="out")(x)
+        if S > 1:
+            out = _pw(self.num_classes, dtype=self.dtype, name="out")
+            _ = out(jnp.zeros((1, 1, 1, 1, n), x.dtype))
+            pr = out.variables["params"]
+            logits = wpack.pointwise_wpack(x.astype(self.dtype),
+                                           pr["kernel"][0, 0, 0].astype(self.dtype),
+                                           S, (n,))
+            logits = wpack.unpack(
+                logits + jnp.tile(pr["bias"].astype(self.dtype), S), S)
+        else:
+            logits = _pw(self.num_classes, dtype=self.dtype, name="out")(x)
         logits = to_channels_first(logits).astype(jnp.float32)
         if self.deep_supervision:
             pyramid = [logits] + [to_channels_first(d).astype(jnp.float32)

@@ -44,6 +44,101 @@ from micformer_tpu import registry
 # the conv layout copies they remove at C=12). Default OFF: the zoo serving
 # metric is device throughput. Opt-in for latency-sensitive single calls.
 RESCONV_VIA_DOT = _os.environ.get("MICFORMER_RESCONV_VIA_DOT", "0") == "1"
+# A/B (round 4 continuation): W-axis channel packing for the UNETR conv path.
+# The full/half-resolution ResConvBlocks run at C=12-24, so every tensor
+# tiles T(8,128) with 12-24/128 lanes live — ~30 of SwinUNETR's ~62 ms/call
+# device time sat in this lane-starved elementwise/IN/layout class while the
+# window attention cost 1.3 ms. Packing S consecutive W positions into
+# channels ([B,D,H,W,C] -> [B,D,H,W/S,S·C], a pure reshape) makes the minor
+# dim ~96-128; k3 convs become banded [S·Ci, S·Co] matmuls + skinny edge
+# terms (ops/wpack.py). Exact reformulation, nn.Conv-identical param trees.
+WPACK = _os.environ.get("MICFORMER_WPACK", "0") == "1"
+
+
+def _slots(W: int, C: int) -> int:
+    """Largest power-of-2 slot count S with S·C <= 128, S | W, S <= 8."""
+    S = 1
+    while S < 8 and 2 * S * C <= 128 and W % (2 * S) == 0:
+        S *= 2
+    return S
+
+
+class ResConvBlockW(nn.Module):
+    """ResConvBlock on a W-packed tensor (param tree == ResConvBlock).
+
+    Input is the stream-major packed concat [B, D, H, W/S, Σ S·Ci]; output is
+    single-stream packed [B, D, H, W/S, S·features]."""
+
+    features: int
+    S: int
+    ci_splits: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, P):
+        from micformer_tpu.ops import wpack
+
+        F, S = self.features, self.S
+        Ci = sum(self.ci_splits)
+        dt = self.dtype
+
+        def conv3(name, h, splits):
+            mod = nn.Conv(F, (3, 3, 3), padding=1, dtype=dt, name=name)
+            _ = mod(jnp.zeros((1, 1, 1, 1, sum(splits)), h.dtype))
+            pr = mod.variables["params"]
+            out = wpack.conv3_wpack(h.astype(dt), pr["kernel"].astype(dt),
+                                    S, splits)
+            return out + jnp.tile(pr["bias"].astype(dt), S)
+
+        def inorm(h):
+            mod = InstanceNorm(affine=True, dtype=dt)
+            _ = mod(jnp.zeros((1, 1, 1, 1, F), h.dtype))
+            pr = mod.variables["params"]
+            return wpack.instance_norm_wpack(h, S, pr["scale"], pr["bias"])
+
+        h = conv3("Conv_0", P, self.ci_splits)
+        h = inorm(h)
+        h = nn.leaky_relu(h, 0.01)
+        h = conv3("Conv_1", h, (F,))
+        h = inorm(h)
+        if Ci == F and len(self.ci_splits) == 1:
+            res = P
+        else:
+            mod = nn.Conv(F, (1, 1, 1), dtype=dt, name="res")
+            _ = mod(jnp.zeros((1, 1, 1, 1, Ci), P.dtype))
+            pr = mod.variables["params"]
+            res = wpack.pointwise_wpack(P.astype(dt),
+                                        pr["kernel"][0, 0, 0].astype(dt),
+                                        S, self.ci_splits)
+            res = res + jnp.tile(pr["bias"].astype(dt), S)
+        return nn.leaky_relu(h + res, 0.01)
+
+
+class UpBlockW(nn.Module):
+    """UnetrUpBlock on W-packed tensors (param tree == UpBlock): transpose
+    conv from the UNPACKED low-res input straight into the packed layout,
+    stream-major packed concat with the packed skip, packed ResConvBlock."""
+
+    features: int
+    S: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip_packed):
+        from micformer_tpu.ops import wpack
+
+        F, S, dt = self.features, self.S, self.dtype
+        mod = nn.ConvTranspose(F, (2, 2, 2), strides=(2, 2, 2),
+                               padding="VALID", dtype=dt,
+                               name="ConvTranspose_0")
+        _ = mod(jnp.zeros((1, 1, 1, 1, x.shape[-1]), x.dtype))
+        pr = mod.variables["params"]
+        up = wpack.convtranspose2_wpack(x.astype(dt),
+                                        pr["kernel"].astype(dt), S)
+        up = up + jnp.tile(pr["bias"].astype(dt), S)
+        P = jnp.concatenate([up, skip_packed], axis=-1)
+        return ResConvBlockW(F, S, (F, skip_packed.shape[-1] // S), dtype=dt,
+                             name="ResConvBlock_0")(P)
 
 
 class ResConvBlock(nn.Module):
@@ -127,8 +222,21 @@ class SwinUNETR(nn.Module):
             h = PatchMergingLinear(dim, dtype=self.dtype, name=f"merge{i}")(h)
             hiddens.append(h)
 
-        enc0 = ResConvBlock(F, dtype=self.dtype, name="encoder1")(x_in)
-        enc1 = ResConvBlock(F, dtype=self.dtype, name="encoder2")(hiddens[0])
+        # the lane-starved full/half-resolution conv path optionally runs
+        # W-packed (pure-reshape pack; see ops/wpack.py). S1/S2 are the slot
+        # counts at full / half resolution; S=1 (tiny inputs) disables.
+        S1 = _slots(x_in.shape[3], F) if WPACK else 1
+        S2 = _slots(hiddens[0].shape[3], F) if WPACK else 1
+        if S1 > 1 and S2 > 1:
+            from micformer_tpu.ops import wpack
+
+            enc0 = ResConvBlockW(F, S1, (x_in.shape[-1],), dtype=self.dtype,
+                                 name="encoder1")(wpack.pack(x_in, S1))
+            enc1 = ResConvBlockW(F, S2, (F,), dtype=self.dtype,
+                                 name="encoder2")(wpack.pack(hiddens[0], S2))
+        else:
+            enc0 = ResConvBlock(F, dtype=self.dtype, name="encoder1")(x_in)
+            enc1 = ResConvBlock(F, dtype=self.dtype, name="encoder2")(hiddens[0])
         enc2 = ResConvBlock(2 * F, dtype=self.dtype, name="encoder3")(hiddens[1])
         enc3 = ResConvBlock(4 * F, dtype=self.dtype, name="encoder4")(hiddens[2])
         dec4 = ResConvBlock(16 * F, dtype=self.dtype, name="encoder10")(hiddens[4])
@@ -136,12 +244,26 @@ class SwinUNETR(nn.Module):
         d = UpBlock(8 * F, dtype=self.dtype, name="decoder5")(dec4, hiddens[3])
         d = UpBlock(4 * F, dtype=self.dtype, name="decoder4")(d, enc3)
         d = UpBlock(2 * F, dtype=self.dtype, name="decoder3")(d, enc2)
-        d = UpBlock(F, dtype=self.dtype, name="decoder2")(d, enc1)
-        d = UpBlock(F, dtype=self.dtype, name="decoder1")(d, enc0)
-        head = (PointwiseConv if RESCONV_VIA_DOT else
-                lambda f, dtype, name: nn.Conv(f, (1, 1, 1), dtype=dtype,
-                                               name=name))
-        out = head(self.num_classes, dtype=self.dtype, name="out")(d)
+        if S1 > 1 and S2 > 1:
+            d = UpBlockW(F, S2, dtype=self.dtype, name="decoder2")(d, enc1)
+            d = UpBlockW(F, S1, dtype=self.dtype,
+                         name="decoder1")(wpack.unpack(d, S2), enc0)
+            out_mod = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                              name="out")
+            _ = out_mod(jnp.zeros((1, 1, 1, 1, F), d.dtype))
+            pr = out_mod.variables["params"]
+            out = wpack.pointwise_wpack(d.astype(self.dtype),
+                                        pr["kernel"][0, 0, 0].astype(self.dtype),
+                                        S1, (F,))
+            out = out + jnp.tile(pr["bias"].astype(self.dtype), S1)
+            out = wpack.unpack(out, S1)
+        else:
+            d = UpBlock(F, dtype=self.dtype, name="decoder2")(d, enc1)
+            d = UpBlock(F, dtype=self.dtype, name="decoder1")(d, enc0)
+            head = (PointwiseConv if RESCONV_VIA_DOT else
+                    lambda f, dtype, name: nn.Conv(f, (1, 1, 1), dtype=dtype,
+                                                   name=name))
+            out = head(self.num_classes, dtype=self.dtype, name="out")(d)
         return to_channels_first(out).astype(jnp.float32)
 
 
