@@ -112,6 +112,51 @@ def test_dw_conv_wpack(rng, S, k):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_conv3_wpack_grads(rng):
+    """Autodiff through the packed k3 conv == lax.conv grads (dx and dw)."""
+    S, Ci, Co = 4, 3, 5
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, Ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(1, 4, 4, 8, Co)).astype(np.float32))
+
+    def f_ref(x, w):
+        return jnp.sum(_ref_conv3(x, w) * g)
+
+    def f_pack(x, w):
+        y = wpack.unpack(wpack.conv3_wpack(wpack.pack(x, S), w, S, (Ci,)), S)
+        return jnp.sum(y * g)
+
+    dx_r, dw_r = jax.grad(f_ref, (0, 1))(x, w)
+    dx_p, dw_p = jax.grad(f_pack, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dw_conv_wpack_grads(rng):
+    S, C, k = 4, 3, 3
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, k, 1, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def f_ref(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(k // 2, k // 2)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=C)
+        return jnp.sum(y * g)
+
+    def f_pack(x, w):
+        y = wpack.unpack(wpack.dw_conv_wpack(wpack.pack(x, S), w, S), S)
+        return jnp.sum(y * g)
+
+    for i, (a, b) in enumerate(zip(jax.grad(f_pack, (0, 1))(x, w),
+                                   jax.grad(f_ref, (0, 1))(x, w))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"arg {i}")
+
+
 def test_parity_interleave_packed(rng):
     """Fused classes->packed == parity_interleave followed by pack."""
     from micformer_tpu.models.layers import parity_interleave
