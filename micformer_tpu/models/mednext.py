@@ -50,6 +50,10 @@ import os as _os
 # [B,D,H,W/4,128], ops/wpack.py) makes every elementwise/stencil op
 # full-lane; the W taps of the dw conv become slot shifts built once.
 # Exact reformulation; param tree unchanged (same modules, dummy-called).
+# TPU A/B (ABAB subprocess pairs, 128³ b1 bf16): 9.65 -> 8.06 w/s (−17%),
+# p50 0.1302 -> 0.1472 — LOST (unlike SwinUNETR's C=12, the C=32 dw stencil
+# with its 2·r slot-shift tensors reads MORE packed bytes than the 4x lane
+# penalty it removes). Stays opt-in; see benchmarks/RESULTS.md round-4 trail.
 MN_WPACK = _os.environ.get("MICFORMER_MEDNEXT_WPACK", "0") == "1"
 
 

@@ -44,15 +44,17 @@ from micformer_tpu import registry
 # the conv layout copies they remove at C=12). Default OFF: the zoo serving
 # metric is device throughput. Opt-in for latency-sensitive single calls.
 RESCONV_VIA_DOT = _os.environ.get("MICFORMER_RESCONV_VIA_DOT", "0") == "1"
-# A/B (round 4 continuation): W-axis channel packing for the UNETR conv path.
-# The full/half-resolution ResConvBlocks run at C=12-24, so every tensor
-# tiles T(8,128) with 12-24/128 lanes live — ~30 of SwinUNETR's ~62 ms/call
-# device time sat in this lane-starved elementwise/IN/layout class while the
-# window attention cost 1.3 ms. Packing S consecutive W positions into
-# channels ([B,D,H,W,C] -> [B,D,H,W/S,S·C], a pure reshape) makes the minor
-# dim ~96-128; k3 convs become banded [S·Ci, S·Co] matmuls + skinny edge
+# W-axis channel packing for the UNETR conv path (round-4 continuation,
+# default ON). The full/half-resolution ResConvBlocks run at C=12-24, so every
+# tensor tiles T(8,128) with 12-24/128 lanes live — ~30 of SwinUNETR's
+# ~62 ms/call device time sat in this lane-starved elementwise/IN/layout class
+# while the window attention cost 1.3 ms. Packing S consecutive W positions
+# into channels ([B,D,H,W,C] -> [B,D,H,W/S,S·C], a pure reshape) makes the
+# minor dim ~96-128; k3 convs become banded [S·Ci, S·Co] matmuls + skinny edge
 # terms (ops/wpack.py). Exact reformulation, nn.Conv-identical param trees.
-WPACK = _os.environ.get("MICFORMER_WPACK", "0") == "1"
+# TPU A/B (ABAB subprocess pairs, 128³ b1 bf16): p50 0.0878 -> 0.0608 s,
+# 15.6 -> 27.8 w/s (+78%) — WON; see benchmarks/RESULTS.md round-4 trail.
+WPACK = _os.environ.get("MICFORMER_WPACK", "1") == "1"
 
 
 def _slots(W: int, C: int) -> int:
