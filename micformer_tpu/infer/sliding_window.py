@@ -163,12 +163,17 @@ def sliding_window_inference(
     sw_batch_size: int = 1,
     mirror_tta: bool = False,
     mirror_axes=(0, 1, 2),
-    # batched TTA (round 4, default ON): the flip variants of a tile are
-    # shape-identical, so they ride the predictor's batch axis — ONE forward
-    # at batch F·sw_batch instead of a scan of F serial forwards (the scan
-    # protocol ran ~11x slower than plain inference, VERDICT r3 item 6).
-    # False restores the serial scan (lower peak activation memory).
-    tta_batched: bool = True,
+    # batched TTA (round 4): the flip variants of a tile are shape-identical,
+    # so they can ride the predictor's batch axis — ONE forward at batch
+    # F·sw_batch instead of a scan of F serial forwards. Measured on the real
+    # chip (same-session A/B, 160³/roi 128, sw_batch 2): serial scan
+    # **0.788 vol/s** vs batched 0.491 — the F·chunk·B=16-tile forward's
+    # activation set thrashes HBM, while the serial scan now rides the
+    # round-3/4 flagship forward improvements to the 8×-FLOP ceiling
+    # (plain 6.1 vol/s ⇒ TTA ceiling ≈ 0.76). Default OFF since round 4;
+    # MICFORMER_TTA_BATCHED=1 opts in (benchmarks/RESULTS.md TTA section).
+    # None = read the env flag; an explicit bool wins (tests A/B both paths).
+    tta_batched: bool | None = None,
     sigma_scale: float = 1.0 / 8,
 ) -> jnp.ndarray:
     """Blended tiled prediction of a full volume.
@@ -193,7 +198,9 @@ def sliding_window_inference(
 
     tta_flags = None
     if mirror_tta:
-        if tta_batched and os.environ.get("MICFORMER_TTA_BATCHED", "1") == "1":
+        use_batched = (os.environ.get("MICFORMER_TTA_BATCHED", "0") == "1"
+                       if tta_batched is None else tta_batched)
+        if use_batched:
             tta_flags = _flip_flags(mirror_axes)        # static [F, 3]
         else:
             predictor = _mirror_tta_predictor(predictor, mirror_axes)
