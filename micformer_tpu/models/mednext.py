@@ -55,6 +55,13 @@ import os as _os
 # with its 2·r slot-shift tensors reads MORE packed bytes than the 4x lane
 # penalty it removes). Stays opt-in; see benchmarks/RESULTS.md round-4 trail.
 MN_WPACK = _os.environ.get("MICFORMER_MEDNEXT_WPACK", "0") == "1"
+# Round-4 continuation, W-pack CO-DESIGN (the v1 loss analysis said "do not
+# retry without changing the minor-dim tiling"): (a) the packed depthwise
+# conv as 9 shifted BANDED matmuls (conv3_wpack with the diagonal-densified
+# kernel — the form that won +78% on SwinUNETR) instead of v1's 27 taps over
+# slot-shift concat tensors; (b) the up block class-packed (see
+# MedNeXtBlock._up_packed). =0 falls back to the v1 tap form.
+MN_DW_BANDED = _os.environ.get("MICFORMER_MN_DW_BANDED", "1") == "1"
 
 
 def _pw(features, stride=1, dtype=jnp.float32, name=None):
@@ -73,6 +80,7 @@ class MedNeXtBlock(nn.Module):
     do_res: bool = True
     mode: str = "same"  # same | down | up
     faithful_up: bool = False
+    pack_S: int = 0      # >1: mode='up' returns a W-packed output (MN_WPACK)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +88,9 @@ class MedNeXtBlock(nn.Module):
         C = x.shape[-1]
         k = (self.kernel,) * 3
         p = self.kernel // 2
+        if (self.mode == "up" and DW_STENCIL and not self.faithful_up
+                and self.pack_S > 1):
+            return self._up_packed(x, C, self.pack_S)
         if (self.mode == "up" and DW_STENCIL and not self.faithful_up
                 and UP_BLOCKED):
             return self._up_blocked(x, C)
@@ -180,6 +191,55 @@ class MedNeXtBlock(nn.Module):
                                         name="res")(x)
         return parity_interleave(h)
 
+    def _up_packed(self, x, C, S):
+        """Class-packed up block (MN_WPACK + pack_S — the round-4 co-design).
+
+        Everything after the dw transpose conv is parity-agnostic, so the
+        block runs in the CLASS-PACKED layout [B, D, H, W, 8·C]: the 8 parity
+        classes merged into the MINOR dim (a free reshape of the blocked
+        stack) — 8·C = 256-512 live lanes where the interleaved form runs the
+        full-resolution norm/expand/GELU/compress at C/128 = 32-64 lanes (the
+        profiled 20.9 ms/call IN-reduce class + 26 ms interleave class,
+        benchmarks/RESULTS.md round-4). NOT the lost deferred-interleave
+        [B,D,H,W·8,C] view, whose minor dim stayed lane-starved. The residual
+        adds in the same layout (no interleave at all); the ONE transpose
+        happens at the compressed width, fused with the W-pack
+        (parity_interleave_packed) so the dec3 stage consumes it directly.
+        Parameter tree identical to the interleaved block; math exact up to
+        f32 reduction order in the InstanceNorm statistics."""
+        from micformer_tpu.ops import wpack
+
+        B, D, H, W, _ = x.shape
+        F = self.out_channels
+        dt = self.dtype
+        h6 = DepthwiseConv3D(C, self.kernel, transpose2=True, blocked_out=True,
+                             dtype=dt, name="dw")(x)       # [B,D,H,W,8,C]
+        h = h6.reshape(B, D, H, W, 8 * C)                  # free class merge
+
+        norm = InstanceNorm(affine=True, dtype=dt, name="norm")
+        _ = norm(jnp.zeros((1, 1, 1, 1, C), h.dtype))
+        npr = norm.variables["params"]
+        h = wpack.instance_norm_wpack(h, 8, npr["scale"], npr["bias"])
+
+        exp_mod = _pw(self.exp_r * C, dtype=dt, name="expand")
+        _ = exp_mod(jnp.zeros((1, 1, 1, 1, C), h.dtype))
+        we = exp_mod.variables["params"]
+        h = wpack.pointwise_slots(h.astype(dt), we["kernel"][0, 0, 0].astype(dt), 8)
+        h = h + jnp.tile(we["bias"].astype(dt), 8)
+        h = nn.gelu(h, approximate=False)
+        cmp_mod = _pw(F, dtype=dt, name="compress")
+        _ = cmp_mod(jnp.zeros((1, 1, 1, 1, self.exp_r * C), h.dtype))
+        wc = cmp_mod.variables["params"]
+        h = wpack.pointwise_slots(h.astype(dt), wc["kernel"][0, 0, 0].astype(dt), 8)
+        h = h + jnp.tile(wc["bias"].astype(dt), 8)
+
+        if self.do_res:
+            r6 = PointwiseTranspose2(F, blocked_out=True, dtype=dt,
+                                     name="res")(x)        # [B,D,H,W,8,F]
+            h = h + r6.reshape(B, D, H, W, 8 * F)
+        return wpack.parity_interleave_packed(
+            h.reshape(B, D, H, W, 8, F), S)       # [B,2D,2H,2W/S,S·F]
+
 
 class MedNeXtBlockW(nn.Module):
     """MedNeXtBlock mode='same' on a W-packed tensor [B, D, H, W/S, S·C]
@@ -203,7 +263,10 @@ class MedNeXtBlockW(nn.Module):
         dw = DepthwiseConv3D(C, self.kernel, dtype=dt, name="dw")
         _ = dw(jnp.zeros((1, 1, 1, 1, C), P.dtype))
         pr = dw.variables["params"]
-        h = wpack.dw_conv_wpack(P.astype(dt), pr["kernel"].astype(dt), S)
+        dw_fn = (wpack.dw_conv_wpack_banded
+                 if (MN_DW_BANDED and self.kernel == 3)
+                 else wpack.dw_conv_wpack)
+        h = dw_fn(P.astype(dt), pr["kernel"].astype(dt), S)
         h = h + jnp.tile(pr["bias"].astype(dt), S)
 
         norm = InstanceNorm(affine=True, dtype=dt, name="norm")
@@ -307,12 +370,18 @@ class MedNeXt(nn.Module):
                               name="ds4")(x))
         for s in range(4):  # decoder stages, deep to shallow
             c_out = n * (2 ** (3 - s))
+            # class-packed up3 emits the W-packed layout directly (one fused
+            # transpose at compressed width); eligibility mirrors _up_packed's
+            # guard so a faithful_up model falls back to interleaved + pack.
+            up_packed = (s == 3 and S > 1 and DW_STENCIL
+                         and not self.faithful_up)
             x = MedNeXtBlock(c_out, er[5 + s], self.kernel, True, mode="up",
                              faithful_up=self.faithful_up,
+                             pack_S=S if up_packed else 0,
                              dtype=self.dtype, name=f"up{s}")(x)
             if s == 3 and S > 1:
                 # full-res decoder segment runs packed (skip is stored packed)
-                x = wpack.pack(x, S) + skips[0]
+                x = (x if up_packed else wpack.pack(x, S)) + skips[0]
                 for b in range(bc[8]):
                     x = MedNeXtBlockW(c_out, er[8], self.kernel, S,
                                       dtype=self.dtype, name=f"dec3_{b}")(x)

@@ -112,6 +112,59 @@ def test_dw_conv_wpack(rng, S, k):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("S", [2, 4])
+def test_dw_conv_wpack_banded(rng, S):
+    """Banded dw form (conv3_wpack with the diagonal-densified kernel) ==
+    lax depthwise conv — the round-4 co-design replacing the slot-shift tap
+    form inside MedNeXtBlockW."""
+    C = 3
+    x = jnp.asarray(rng.normal(size=(2, 4, 5, 8, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, C)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=C)
+    got = wpack.unpack(wpack.dw_conv_wpack_banded(wpack.pack(x, S), w, S), S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dw_conv_wpack_banded_grads(rng):
+    S, C = 4, 3
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def f_ref(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=C)
+        return jnp.sum(y * g)
+
+    def f_pack(x, w):
+        y = wpack.unpack(
+            wpack.dw_conv_wpack_banded(wpack.pack(x, S), w, S), S)
+        return jnp.sum(y * g)
+
+    for i, (a, b) in enumerate(zip(jax.grad(f_pack, (0, 1))(x, w),
+                                   jax.grad(f_ref, (0, 1))(x, w))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"arg {i}")
+
+
+def test_pointwise_slots(rng):
+    """Slot-reshaped pointwise einsum == pointwise_wpack's block diagonal
+    (single stream) == the plain per-voxel matmul."""
+    S, C, Co = 4, 3, 5
+    x = jnp.asarray(rng.normal(size=(1, 3, 4, 8, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C, Co)).astype(np.float32))
+    want = jnp.einsum("bdhwc,cf->bdhwf", x, w1)
+    got = wpack.unpack(wpack.pointwise_slots(wpack.pack(x, S), w1, S), S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_conv3_wpack_grads(rng):
     """Autodiff through the packed k3 conv == lax.conv grads (dx and dw)."""
     S, Ci, Co = 4, 3, 5
