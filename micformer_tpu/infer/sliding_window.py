@@ -172,6 +172,11 @@ def sliding_window_inference(
     # round-3/4 flagship forward improvements to the 8×-FLOP ceiling
     # (plain 6.1 vol/s ⇒ TTA ceiling ≈ 0.76). Default OFF since round 4;
     # MICFORMER_TTA_BATCHED=1 opts in (benchmarks/RESULTS.md TTA section).
+    # MEMORY SCALING (ADVICE r4): the batched path materializes all F flip
+    # variants of the window chunk BEFORE the forward (jnp.stack of flips) —
+    # an F× activation-input footprint per chunk ON TOP of the F·sw_batch
+    # forward itself. Any future default-ON flip must cap F·chunk·B (large
+    # roi/sw_batch combinations hit the round-1 HBM device-fault regime).
     # None = read the env flag; an explicit bool wins (tests A/B both paths).
     tta_batched: bool | None = None,
     sigma_scale: float = 1.0 / 8,

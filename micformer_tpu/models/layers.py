@@ -851,8 +851,11 @@ DW_PALLAS = _os.environ.get("MICFORMER_DW_PALLAS", "0") == "1"
 UP_BLOCKED = _os.environ.get("MICFORMER_UP_BLOCKED", "0") == "1"
 
 
-def _dw_pallas_eligible(x) -> bool:
-    if not DW_PALLAS:
+def _dw_pallas_eligible(x, k: int = 3) -> bool:
+    # the Pallas plane-streaming kernel is written for k=3 (3 resident
+    # planes, halo 1); larger kernels would need k planes and a k//2 halo
+    # the VMEM estimate below doesn't model — route them to the stencil.
+    if not DW_PALLAS or k != 3:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -861,7 +864,8 @@ def _dw_pallas_eligible(x) -> bool:
     # lane-packed plane [Hp, Wp·C] must fit VMEM comfortably (~2 MB each,
     # 3 planes + out + double buffering)
     B, D, H, W, C = x.shape
-    plane_bytes = (H + 2) * (W + 2) * C * x.dtype.itemsize
+    h = k // 2
+    plane_bytes = (H + 2 * h) * (W + 2 * h) * C * x.dtype.itemsize
     return platform not in ("cpu",) and D >= 4 and plane_bytes <= 2_500_000
 
 
@@ -1007,7 +1011,14 @@ class PointwiseConv(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (1, 1, 1, C, self.features))
         if self.stride == 2:
-            # parity view, not a strided slice (which lowers to a gather)
+            # parity view, not a strided slice (which lowers to a gather).
+            # SAME stride-2 semantics pick indices 0,2,... giving ceil(dim/2)
+            # outputs; pad odd axes by one so the even-reshape view matches
+            # (the pad element sits at an odd index and is never selected).
+            if (D % 2) or (H % 2) or (W % 2):
+                x = jnp.pad(x, ((0, 0), (0, D % 2), (0, H % 2), (0, W % 2),
+                                (0, 0)))
+                B, D, H, W = x.shape[:4]
             x = x.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2,
                           C)[:, :, 0, :, 0, :, 0, :]
         y = jnp.einsum("bdhwc,cf->bdhwf", x.astype(self.dtype),
@@ -1076,7 +1087,7 @@ class DepthwiseConv3D(nn.Module):
             out = dw_transpose2_stencil(x.astype(self.dtype),
                                         w.astype(self.dtype))
         elif (self.stride == 1 and self.pad is None
-              and _dw_pallas_eligible(x)):
+              and _dw_pallas_eligible(x, k)):
             from micformer_tpu.ops.pallas.dw_stencil import dw_conv3_pallas
 
             out = dw_conv3_pallas(x.astype(self.dtype), w.astype(self.dtype))

@@ -111,6 +111,10 @@ def conv3_wpack(P: jnp.ndarray, w: jnp.ndarray, S: int, ci_splits) -> jnp.ndarra
     Returns [B, D, H, U, S·Co]. 9 shifted banded matmuls + 2×9 skinny edge
     matmuls; the input is read ~9 times at full lane width (vs 27 times at
     Ci/128 lanes for the shifted-dot form)."""
+    # S=1 would make the final concat's third slice span the whole tensor
+    # (2*Co channels, edge terms double-applied) — packing is meaningless at
+    # S=1 anyway, so reject it outright (ADVICE r4).
+    assert S >= 2, "conv3_wpack requires pack factor S >= 2 (S=1 is unpacked)"
     B, D, H, U, _ = P.shape
     Co = w.shape[-1]
     dt = P.dtype

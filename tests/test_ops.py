@@ -385,3 +385,22 @@ def test_dw_conv_stencil_matches_grouped_conv(rng):
         a = dw_conv_stencil(xd, w, 1, ((p + 1, p),) * 3)
         b = ref(xd, w, 1, ((p + 1, p),) * 3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pointwise_conv_stride2_odd_dims(rng):
+    """PointwiseConv stride=2 on odd spatial dims matches nn.Conv SAME
+    stride-2 (ceil-sized output via indices 0,2,...; ADVICE r4 fix — the
+    parity view alone required even dims)."""
+    import flax.linen as nn
+    from micformer_tpu.models.layers import PointwiseConv
+
+    C, F = 3, 5
+    x = jnp.asarray(rng.normal(size=(1, 5, 7, 9, C)).astype(np.float32))
+    ours = PointwiseConv(features=F, stride=2)
+    ref = nn.Conv(F, (1, 1, 1), strides=(2, 2, 2), padding="SAME")
+    p = jax.jit(ours.init)(jax.random.PRNGKey(0), x)
+    got = ours.apply(p, x)
+    want = ref.apply(p, x)
+    assert got.shape == want.shape == (1, 3, 4, 5, F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

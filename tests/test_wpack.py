@@ -286,3 +286,11 @@ def test_convtranspose2_wpack(rng, S):
     got = wpack.unpack(wpack.convtranspose2_wpack(x, w, S), S)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_conv3_wpack_rejects_s1(rng):
+    """S=1 would double-apply edge terms (ADVICE r4) — rejected outright."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    with pytest.raises(AssertionError):
+        wpack.conv3_wpack(x, w, 1, (3,))
