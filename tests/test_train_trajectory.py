@@ -164,3 +164,92 @@ def test_mednext_sgd_poly_trajectory_parity():
                                  n_steps)
     worst = _assert_tracks(losses_t, losses_j, tol_first=2e-5, tol_max=5e-3)
     print(f"mednext sgd/poly trajectory: max per-step loss delta {worst:.2e}")
+
+
+def test_nnformer_augmented_ds_trajectory_parity():
+    """50 Adam steps on nnFormer with deep supervision AND the augmentation
+    stack inside the compared loop (VERDICT r4 item 6).
+
+    The flax side runs the LIVE path: Trainer(augment='monai',
+    deep_supervision=True) — RandFlip x3 / NormalizeIntensityd /
+    RandScale/ShiftIntensity (train_mmwhs_noPad.py:116-125) execute INSIDE
+    the jitted train step from the per-step PRNG key. The torch side consumes
+    the byte-identical augmented batches, produced by evaluating the same
+    transform fn with the same derived key outside the loop, through the
+    vendored MultipleOutputLoss2 (deep_supervision.py:19-46) over MDiceLoss
+    with the same nearest-downsampled target pyramid. This pins, under
+    gradient flow over 50 steps, the three paths no other trajectory row
+    covers: the scrambled rel-pos-bias remap (nnFormer_tumor.py:184-186),
+    the deep-supervision loss wiring, and the augmentation stack."""
+    import torch
+    from micformer_tpu import registry
+    from micformer_tpu.convert.zoo_import import (load_reference_nnformer,
+                                                  nnformer_params_from_torch)
+    from micformer_tpu.data.transforms import batched_train_augment
+    from micformer_tpu.train.trainer import Trainer, TrainConfig
+
+    torch.manual_seed(5)
+    n_steps = 50
+    crop = (64, 64, 64)
+    tmodel = load_reference_nnformer(crop_size=crop, in_channels=2,
+                                     num_classes=8, deep_supervision=True)
+    with torch.no_grad():  # make the rpe remap load-bearing under grad too
+        for name, p in tmodel.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.mul_(20.0)
+    params = nnformer_params_from_torch(tmodel.state_dict(), crop_size=crop,
+                                        deep_supervision=True)
+    # drop_path 0 == torch eval-mode forward (loader returns .eval())
+    fmodel = registry.build("nnformer", num_classes=8, deep_supervision=True,
+                            drop_path_rate=0.0)
+
+    xs, ys = _batches(n_steps, (1, 2) + crop, seed=11)
+    ys = ys.reshape((n_steps, 1, 8) + crop)
+
+    # --- flax side: live Trainer path, augmentation inside the jitted step
+    cfg = TrainConfig(num_classes=8, augment="monai", nan_guard=False,
+                      loss="mdice", deep_supervision=True,
+                      optimizer="adam", lr=1e-4, scheduler="constant",
+                      run_dir=tempfile.mkdtemp(prefix="traj_"))
+    tr = Trainer(fmodel, cfg)
+    state = tr.init_state(xs.shape[1:])
+    jparams = jax.tree.map(jnp.asarray, params)
+    state = state.replace(params=jparams, opt_state=tr.tx.init(jparams))
+    losses_j, aug_batches = [], []
+    for s in range(n_steps):
+        step_key = jax.random.key(s)
+        # replicate the step's internal split to pre-compute the torch copy
+        aug_key, _ = jax.random.split(step_key)
+        ax, ay = batched_train_augment(aug_key, jnp.asarray(xs[s]),
+                                       jnp.asarray(ys[s]), 2)
+        aug_batches.append((np.asarray(ax), np.asarray(ay)))
+        state, m = tr.train_step(state, jnp.asarray(xs[s]),
+                                 jnp.asarray(ys[s]), step_key)
+        losses_j.append(float(m["loss"]))
+
+    # --- torch side: identical augmented batches + vendored DS loss
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REFERENCE, "MedNeXt"))
+    try:
+        from nnunet_mednext.training.loss_functions.deep_supervision import (
+            MultipleOutputLoss2)
+    finally:
+        _sys.path.pop(0)
+    w = np.array([2.0 ** (-i) for i in range(3)])
+    mol = MultipleOutputLoss2(_ref_mdice(), weight_factors=list(w / w.sum()))
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-4, weight_decay=0)
+    losses_t = []
+    for s in range(n_steps):
+        ax, ay = aug_batches[s]
+        opt.zero_grad()
+        outs = tmodel(torch.from_numpy(ax))
+        tgt = torch.from_numpy(ay)
+        tgts = [tgt, tgt[:, :, ::2, ::2, ::2], tgt[:, :, ::4, ::4, ::4]]
+        loss = mol(outs, tgts)
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+
+    worst = _assert_tracks(losses_t, losses_j, tol_first=2e-5, tol_max=5e-3)
+    print(f"nnformer adam/ds/augmented trajectory (50 steps): "
+          f"max per-step loss delta {worst:.2e}")
