@@ -183,8 +183,22 @@ def main(argv=None):
                   mirror_tta=args.mirror_tta)
 
     def make_infer(params):
+        variables = {"params": params}
+        if args.engine == "3d" and len(ds):
+            # inference-only: pre-gather every relative-position bias at the
+            # fixed roi shape so biased attention blocks skip the per-call
+            # [T²,h] table gather (see layers.rel_pos_bias_cached). No-op
+            # (variables unchanged) for models without rel-pos tables.
+            from micformer_tpu.models.layers import materialize_rpe_cache
+
+            n_ch = int(np.asarray(ds[0]["image"]).shape[0])
+            if args.cascade_prev_seg_dir:
+                n_ch += args.num_classes - 1
+            win0 = jnp.zeros((1, n_ch) + (args.roi,) * 3, jnp.float32)
+            variables = materialize_rpe_cache(model, variables, win0)
+
         def predictor(win):
-            return model.apply({"params": params}, win)
+            return model.apply(variables, win)
 
         if args.engine == "3d":
             if args.sharded_tiles:

@@ -179,19 +179,73 @@ class Mlp(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth on the residual branch (timm DropPath semantics)."""
+    """Stochastic depth on the residual branch (timm DropPath semantics).
+
+    `rate` (call-time) overrides the static attribute with a traced scalar —
+    used by the scan-over-blocks path, where all iterations share one
+    compiled body and the per-block rate rides as a scanned input. A traced
+    rate of 0.0 is exact identity (bernoulli(1.0) is all-True, x/1.0 == x).
+    """
 
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - (self.rate if rate is None else rate)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def rel_pos_bias_cached(module: nn.Module, table, window_size, T: int, h: int):
+    """[h, T, T] relative-position bias, served from the `rpe_cache`
+    collection when the caller passes one.
+
+    The table gather runs [T², h] rows per biased block per call, and because
+    the table is a runtime parameter XLA cannot hoist it (~2.3 ms/call across
+    SwinUNETR's biased blocks on the round-4 post-WPACK profile). At
+    INFERENCE the bias is constant per checkpoint: `materialize_rpe_cache`
+    runs one apply with mutable=["rpe_cache"] so every biased attention
+    module stores its gathered bias; subsequent applies that include the
+    cache in `variables` read it instead of re-gathering.
+
+    Training must NOT pass the cache: a cached bias is a constant, so the
+    bias table would silently stop receiving gradients. In-repo callers only
+    materialize on inference paths (cli/predict, benchmarks); Trainer never
+    does. Reference behavior: vt_unet.py:149-168 (same gather, per call).
+    """
+    if module.has_variable("rpe_cache", "bias"):
+        return module.get_variable("rpe_cache", "bias")
+    idx = relative_position_index(window_size)[:T, :T]
+    bias = table[idx.reshape(-1)].reshape(T, T, h).transpose(2, 0, 1)
+    if (not module.is_initializing()) and module.is_mutable_collection("rpe_cache"):
+        module.variable("rpe_cache", "bias", lambda: bias)
+    return bias
+
+
+def materialize_rpe_cache(model, variables, *args, **kwargs):
+    """Pre-gather every relative-position bias for a fixed inference shape.
+
+    Runs one jitted forward with mutable=["rpe_cache"] (one extra compile,
+    amortized by the persistent compilation cache) and returns `variables`
+    with the cache collection merged — or unchanged for models with no
+    rel-pos tables. The cache is shape-specific: windows clamp to the input
+    extent (`adjust_window_shift`), so materialize at the same spatial shape
+    the cached variables will be applied at. INFERENCE ONLY (see
+    rel_pos_bias_cached).
+    """
+    import jax as _jax
+
+    _, mut = _jax.jit(
+        lambda v, a: model.apply(v, *a, mutable=["rpe_cache"], **kwargs)
+    )(variables, args)
+    cache = mut.get("rpe_cache", {})
+    if not cache:
+        return variables
+    return {**variables, "rpe_cache": cache}
 
 
 class WindowAttention3D(nn.Module):
@@ -256,8 +310,7 @@ class WindowAttention3D(nn.Module):
                 nn.initializers.truncated_normal(0.02),
                 ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h),
             )
-            idx = relative_position_index(self.window_size)[:T, :T]
-            bias = table[idx.reshape(-1)].reshape(T, T, h).transpose(2, 0, 1)
+            bias = rel_pos_bias_cached(self, table, self.window_size, T, h)
 
         mask_arr = None if mask is None else jnp.asarray(mask)
         out = multi_head_attention(q, k, v, bias=bias, mask=mask_arr, scale=self.qk_scale)
@@ -335,7 +388,7 @@ class SwinBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, drop_rate=None):
         B, D, H, W, C = x.shape
         if (BLOCK_LANE_MAJOR and not self.rel_pos_bias
                 and not self.swinunet_scramble and self.head_dim is None
@@ -346,7 +399,7 @@ class SwinBlock3D(nn.Module):
             if (not any(ss_l) and D % ws_l[0] == 0 and H % ws_l[1] == 0
                     and W % ws_l[2] == 0 and T_l <= 16
                     and B * (D // ws_l[0]) * (H // ws_l[1]) * (W // ws_l[2]) >= LANE_MIN_N):
-                return self._lane_block(x, ws_l, deterministic)
+                return self._lane_block(x, ws_l, deterministic, drop_rate)
         if self.swinunet_scramble:
             # the reference SwinUnet3D has no window clamp (it asserts input
             # size instead): shift + mask run even on a single-window grid
@@ -382,12 +435,12 @@ class SwinBlock3D(nn.Module):
         x = cyclic_shift(x, ss, reverse=True)
         x = x[:, :D, :H, :W]
 
-        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        x = shortcut + DropPath(self.drop_path)(x, deterministic, rate=drop_rate)
         y = apply_layer_norm(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype), x)
         y = Mlp(int(C * self.mlp_ratio), C, self.dropout, dtype=self.dtype)(y, deterministic)
-        return x + DropPath(self.drop_path)(y, deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic, rate=drop_rate)
 
-    def _lane_block(self, x, ws, deterministic: bool):
+    def _lane_block(self, x, ws, deterministic: bool, drop_rate=None):
         """Whole block in lane-major [T, C, N] layout (unshifted windows).
 
         One lattice transpose in, one out; LN / qkv / attention / proj / MLP
@@ -412,7 +465,7 @@ class SwinBlock3D(nn.Module):
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             rel_pos_bias=False, head_dim=self.head_dim, dtype=dt, name="attn",
         )(xn, lane_layout=True)                              # [T, C, N]
-        xt = xt + self._lane_drop_path(at, B, deterministic)
+        xt = xt + self._lane_drop_path(at, B, deterministic, drop_rate)
 
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=dt)
         _ = ln1(jnp.zeros((1, 1, C), dt))
@@ -425,19 +478,19 @@ class SwinBlock3D(nn.Module):
         ht = jnp.einsum("tcn,cf->tfn", yt.astype(dt), w0) + b0[None, :, None]
         ht = nn.gelu(ht, approximate=False)
         ot = jnp.einsum("tfn,fc->tcn", ht, w1) + b1[None, :, None]
-        xt = xt + self._lane_drop_path(ot, B, deterministic)
+        xt = xt + self._lane_drop_path(ot, B, deterministic, drop_rate)
 
         out = xt.reshape(wd, wh, ww, C, B, nD, nH, nW_)
         out = out.transpose(4, 5, 0, 6, 1, 7, 2, 3).reshape(B, D, H, W, C)
         return out
 
-    def _lane_drop_path(self, xt, B: int, deterministic: bool):
+    def _lane_drop_path(self, xt, B: int, deterministic: bool, rate=None):
         """DropPath on a lane-major [T, C, N] residual branch: the per-sample
         mask broadcasts over N (batch-major raster), matching the base
         DropPath's (B,1,1,1,1) semantics."""
-        if self.drop_path == 0.0 or deterministic:
+        if deterministic or (rate is None and self.drop_path == 0.0):
             return xt
-        keep = 1.0 - self.drop_path
+        keep = 1.0 - (self.drop_path if rate is None else rate)
         rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, keep, (B,))
         N = xt.shape[2]

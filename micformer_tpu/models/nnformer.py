@@ -37,6 +37,7 @@ from micformer_tpu.models.layers import (
     Mlp,
     DropPath,
     SwinBlock3D,
+    rel_pos_bias_cached,
     pad_to_multiple,
     to_channels_last,
     to_channels_first,
@@ -106,8 +107,7 @@ class SkipKVBlock(nn.Module):
         table = self.param("rel_pos_bias_table",
                            nn.initializers.truncated_normal(0.02),
                            ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h))
-        idx = relative_position_index(ws)[:T, :T]
-        bias = table[idx.reshape(-1)].reshape(T, T, h).transpose(2, 0, 1)
+        bias = rel_pos_bias_cached(self, table, ws, T, h)
 
         out = multi_head_attention(q, k, v, bias=bias)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(merge_heads(out))

@@ -52,6 +52,7 @@ from micformer_tpu.models.layers import (
     PatchMergingLinear,
     PatchExpandLinear,
     FinalPatchExpand,
+    rel_pos_bias_cached,
     pad_to_multiple,
     to_channels_last,
     to_channels_first,
@@ -139,8 +140,8 @@ class VTWindowAttention(nn.Module):
         table = self.param(
             "rel_pos_bias_table", nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h))
-        idx = relative_position_index(self.table_window or self.window_size)[:T, :T]
-        bias = table[idx.reshape(-1)].reshape(T, T, h).transpose(2, 0, 1)
+        bias = rel_pos_bias_cached(
+            self, table, self.table_window or self.window_size, T, h)
 
         proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
         m = None if mask is None else jnp.asarray(mask)

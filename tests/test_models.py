@@ -85,6 +85,61 @@ def test_micformer_fused_head_matches_two_op_path(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_head_convt_via_conv3_matches_conv_transpose(rng):
+    """The round-5 head reformulation: conv_transpose(k=6, s=4, pad (4,4))
+    == SAME k3 conv over the input grid + depth-to-space (micformer.
+    _convt_s4_k6_via_conv3) — exact, including borders, on odd extents."""
+    from micformer_tpu.models.micformer import _convt_s4_k6_via_conv3
+
+    kc = jnp.asarray(rng.normal(size=(6, 6, 6, 6, 5)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 7, 5, 6)).astype(np.float32))
+    ref = jax.lax.conv_transpose(x, kc, strides=(4, 4, 4),
+                                 padding=((4, 4),) * 3,
+                                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = _convt_s4_k6_via_conv3(x, kc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_micformer_scan_blocks_matches_unrolled(rng):
+    """SCAN_BLOCKS (one lax.scan over stacked per-depth block params) must
+    produce the unrolled path's param tree and deterministic outputs, and
+    finite nonzero grads through the stacked-param scan. (~4 min on the CPU
+    backend — grad-of-scan compile dominates; slow tier.)"""
+    from micformer_tpu.models import micformer as mf
+
+    kw = dict(num_classes=3, embed_dim=8, depths=(2, 3), num_heads=(2, 4),
+              drop_path_rate=0.2)
+    x = jnp.asarray(rng.normal(size=(1, 2, 16, 16, 16)).astype(np.float32))
+    prev = mf.SCAN_BLOCKS
+    try:
+        mf.SCAN_BLOCKS = False
+        plain = mf.MicFormer(**kw)
+        variables = jax.jit(plain.init)(jax.random.key(0), x)
+        want = plain.apply(variables, x)
+        mf.SCAN_BLOCKS = True
+        scanned = mf.MicFormer(**kw)
+        v2 = jax.jit(scanned.init)(jax.random.key(0), x)
+        assert (jax.tree_util.tree_structure(v2)
+                == jax.tree_util.tree_structure(variables))
+        got = scanned.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+        def loss(params):
+            return jnp.sum(scanned.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": jax.random.key(1)}) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+    finally:
+        mf.SCAN_BLOCKS = prev
+
+
 def test_conv3x3viadot_preproject_matches_shifted_dot(rng):
     """The PREPROJECT reformulation (one [C,27F] projection + 27 shifted
     slice-adds) must equal the 27-shifted-dot path exactly — same params."""
