@@ -368,9 +368,11 @@ def _composed_head_bias_field(b1, k2, out_spatial):
 
 
 def _composed_head_bias_field_blocked(b1, k2, out_spatial):
-    """_composed_head_bias_field in the residue-blocked layout
-    [D/4, H/4, W/4, 4, 4, 4, C] (axis p = 4q + r at [..., q, r, :]) — the
-    same per-axis factor vectors, reshaped [3, s] -> [3, s/4, 4]."""
+    """_composed_head_bias_field in the SHIFTED residue-blocked layout of
+    `_convt_s4_k6_blocked` (axis position p = 4b + r - 3 at [..., b, r, :],
+    b ∈ [0, s/4]): the same per-axis factor vectors, zero-padded 3 left /
+    1 right so the dead border slots line up, reshaped [3, s+4] ->
+    [3, s/4+1, 4]."""
     t = jnp.einsum("zyxoc,o->zyxc", k2.astype(jnp.float32),
                    b1.astype(jnp.float32))  # [3,3,3,C]
     vs = []
@@ -378,59 +380,65 @@ def _composed_head_bias_field_blocked(b1, k2, out_spatial):
         v = np.ones((3, s), np.float32)
         v[0, 0] = 0.0
         v[2, s - 1] = 0.0
-        vs.append(jnp.asarray(v.reshape(3, s // 4, 4)))
+        v = np.pad(v, ((0, 0), (3, 1)))
+        vs.append(jnp.asarray(v.reshape(3, s // 4 + 1, 4)))
     return jnp.einsum("zyxc,zPa,yQb,xRd->PQRabdc", t, *vs)
 
 
 def _convt_s4_k6_blocked(x, kc):
     """Residue-blocked form of `lax.conv_transpose(x, kc, strides=(4,4,4),
-    padding=((4,4),)*3)` with kc [6,6,6,I,C]: returns
-    [B, Dq, Hq, Wq, 4, 4, 4, C] (output voxel t = 4q + r at [..., q, r, c])
-    WITHOUT materializing the interleaved volume — the caller folds the
-    un-blocking into whatever relayout it was going to do anyway (the v1
-    form that interleaved here and then re-transposed to channels-first
-    measured 3 full-volume relayout passes, RESULTS.md round-5).
+    padding=((4,4),)*3)` with kc [6,6,6,I,C]: one k=2 VALID conv producing
+    [B, Q+1, Q+1, Q+1, 4, 4, 4, C] residue blocks (Q = input extent), output
+    voxel p = 4b + r - 3 at [..., b, r, c]; per axis, slots p < 0 (r < 3 of
+    b=0) and p >= 4Q (r=3 of b=Q) are dead and must be sliced off AFTER the
+    caller's interleave — which the caller folds into whatever relayout it
+    was going to do anyway.
 
-    Derivation (per axis): conv_transpose is a correlation over the 4-dilated
-    input, out[t] = Σ_j kc[j]·xd[t + j - 4]; xd[u] nonzero only at u = 4m, so
-    with t = 4q + r the taps are j = 4 - r + 4d, input position m = q + d,
-    d ∈ {-1, 0, +1} (j valid: d=-1 only for r=0, d=+1 only for r=3). Hence
+    Derivation (per axis): conv_transpose is a correlation over the
+    4-dilated input, out[p] = Σ_j kc[j]·xd[p + j - 4]; xd[u] nonzero only at
+    u = 4m, so with the SHIFTED blocking p = 4b + r - 3 the taps are
+    j = 3 - r + 4d at input m = b - 1 + d with d ∈ {0, 1} only (j valid:
+    d=0 for every r, d=1 for r ∈ {2, 3}) — a 2³-neighborhood contraction:
 
-        out_blocked[q, (r, c)] = Σ_d x[q + d] @ kc[4 - r + 4d]
+        out_blocked[b, (r, c)] = W0[r]·x[b-1] + W1[r]·x[b],   Wd = kc[3-r+4d]
 
-    — a 3³-neighborhood contraction == one SAME k=3 conv with the re-blocked
-    kernel W[d, i, (r, c)], boundary-exact (the conv's zero pad IS the
-    dilated input's empty border). The [3,3,3,I,64C] kernel is ~8x
-    structurally zero — MXU FLOPs are the cheap currency here; the 18.6 ms
-    being replaced is layout traffic, not math.
-    """
+    == one k=2 VALID conv over the 1-padded input with the re-blocked
+    [2, 2, 2, I, 64·C] kernel. The unshifted t = 4q + r blocking needs
+    d ∈ {-1, 0, +1} (a k=3 SAME conv, 27 dense taps): that v2 form measured
+    LOSING (6.10 -> 5.11 vol/s, round-5 ledger) because its kernel is ~8×
+    structurally zero — 348 GFLOP/window where the true contraction is 10.9.
+    The k=2 kernel is only 2.4× zero-padded (28 GFLOP incl. the +1 border
+    blocks), 12× less than v2 and ~35% less than the conv_transpose
+    lowering's effective 43.5."""
     kd, I, C = 6, kc.shape[3], kc.shape[4]
     assert kc.shape[:3] == (kd, kd, kd)
-    # per-axis (d -> residues r, kernel rows j = 4 - r + 4d)
-    terms = {-1: ([0], [0]), 0: ([0, 1, 2, 3], [4, 3, 2, 1]), 1: ([3], [5])}
-    W = jnp.zeros((3, 3, 3, I, 4, 4, 4, C), kc.dtype)
+    # per-axis (d -> residues r, kernel rows j = 3 - r + 4d)
+    terms = {0: ([0, 1, 2, 3], [3, 2, 1, 0]), 1: ([2, 3], [5, 4])}
+    W = jnp.zeros((2, 2, 2, I, 4, 4, 4, C), kc.dtype)
     for dz, (rz, jz) in terms.items():
         for dy, (ry, jy) in terms.items():
             for dx, (rx, jx) in terms.items():
                 blk = kc[jnp.ix_(jnp.array(jz), jnp.array(jy), jnp.array(jx))]
                 blk = jnp.moveaxis(blk, 3, 0)        # [I, |rz|, |ry|, |rx|, C]
-                W = W.at[dz + 1, dy + 1, dx + 1, :,
+                W = W.at[dz, dy, dx, :,
                          rz[0]:rz[0] + len(rz), ry[0]:ry[0] + len(ry),
                          rx[0]:rx[0] + len(rx)].set(blk)
     B, Dq, Hq, Wq, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     y = jax.lax.conv_general_dilated(
-        x, W.reshape(3, 3, 3, I, 64 * C), window_strides=(1, 1, 1),
-        padding="SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    return y.reshape(B, Dq, Hq, Wq, 4, 4, 4, C)
+        xp, W.reshape(2, 2, 2, I, 64 * C), window_strides=(1, 1, 1),
+        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y.reshape(B, Dq + 1, Hq + 1, Wq + 1, 4, 4, 4, C)
 
 
-def _convt_s4_k6_via_conv3(x, kc):
+def _convt_s4_k6_via_dot(x, kc):
     """Interleaved (NDHWC) wrapper over _convt_s4_k6_blocked — numerically
     identical to the conv_transpose (op-level parity test)."""
     y = _convt_s4_k6_blocked(x, kc)
-    B, Dq, Hq, Wq = y.shape[:4]
+    B, b1, b2, b3 = y.shape[:4]
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-    return y.reshape(B, 4 * Dq, 4 * Hq, 4 * Wq, kc.shape[-1])
+    y = y.reshape(B, 4 * b1, 4 * b2, 4 * b3, kc.shape[-1])
+    return y[:, 3:4 * b1 - 1, 3:4 * b2 - 1, 3:4 * b3 - 1]
 
 
 class MicFormer(nn.Module):
@@ -531,19 +539,26 @@ class MicFormer(nn.Module):
             b2 = oc.variables["params"]["bias"]
             kc = _composed_head_kernel(k1, k2).astype(self.dtype)
             if HEAD_VIA_DOT and self.patch_size == (4, 4, 4):
-                # blocked conv output; bias field built blocked; ONE fused
-                # add + interleave-to-channels-first + f32 convert — the
-                # same per-element values/order as the base path, without
-                # the interleaved intermediate (v1 measured 3 full-volume
-                # relayout passes where the base had 1).
-                y = _convt_s4_k6_blocked(out, kc)               # [B,q³,r³,C]
-                B, Dq, Hq, Wq = y.shape[:4]
+                # blocked conv output; bias field built blocked; then the
+                # interleave in the LAYOUT-CHEAP order: the NDHWC transpose
+                # [B,bz,by,bx,rz,ry,rx,C] -> [B,bz,rz,by,ry,bx,rx,C] moves
+                # only (rz, ry) — (bx, rx, C) stay adjacent, so the minor
+                # (x=bx·rx, C) plane is untouched (the channels-FIRST-target
+                # transpose of this same tensor relayouts every tile and
+                # measured 5.5+3.4+6.5 ms in copies+slice, round-5 ledger).
+                # The border slice rides the channels-last volume; the final
+                # to-channels-first is the same ~2 ms minor-dims copy class
+                # the base path pays.
+                y = _convt_s4_k6_blocked(out, kc)           # [B,(q+1)³,r³,C]
+                B, b1_, b2_, b3_ = y.shape[:4]
+                Dq, Hq, Wq = b1_ - 1, b2_ - 1, b3_ - 1
                 fb = _composed_head_bias_field_blocked(
                     b1, k2, (4 * Dq, 4 * Hq, 4 * Wq))
                 y = y + (fb + b2.astype(jnp.float32)).astype(self.dtype)[None]
-                out = y.transpose(0, 7, 1, 4, 2, 5, 3, 6).reshape(
-                    B, self.num_classes, 4 * Dq, 4 * Hq, 4 * Wq)
-                return out.astype(jnp.float32)
+                y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+                    B, 4 * b1_, 4 * b2_, 4 * b3_, self.num_classes)
+                out = y[:, 3:4 * b1_ - 1, 3:4 * b2_ - 1, 3:4 * b3_ - 1]
+                return to_channels_first(out).astype(jnp.float32)
             # conv_transpose pads the s-dilated input: full output
             # (k-1,k-1); the composition is offset by one voxel -> trim
             # with (k-2,k-2)

@@ -51,6 +51,39 @@ def unpack(x: jnp.ndarray, S: int) -> jnp.ndarray:
     return x.reshape(B, D, H, U * S, SC // S)
 
 
+def slots(W: int, C: int, cap: int = 8) -> int:
+    """Largest power-of-2 slot count S with S·C <= 128, S | W, S <= cap."""
+    S = 1
+    while S < cap and 2 * S * C <= 128 and W % (2 * S) == 0:
+        S *= 2
+    return S
+
+
+def repack(P: jnp.ndarray, S_old: int, S_new: int) -> jnp.ndarray:
+    """Change the slot count of a single-stream packed tensor — still a pure
+    reshape (both layouts are views of the same [B, D, H, W, C] bytes)."""
+    if S_old == S_new:
+        return P
+    return pack(unpack(P, S_old), S_new)
+
+
+def maxpool2_wpack(P: jnp.ndarray, S: int) -> jnp.ndarray:
+    """MaxPool 2³ stride-2 on a single-stream W-packed tensor.
+
+    [B, D, H, U, S·C] -> [B, D/2, H/2, U, (S/2)·C]: the W pooling pairs are
+    slot-adjacent inside a block (slots 2j, 2j+1 are consecutive W voxels),
+    so the W reduction is a [.., S/2, 2, C] view + max — no relayout; D/H
+    pool as plain strided views. Output stays packed at S/2 with the SAME
+    block extent U, which matches `_slots` halving as channels double.
+    Requires even S, D, H."""
+    B, D, H, U, SC = P.shape
+    C = SC // S
+    assert S % 2 == 0 and D % 2 == 0 and H % 2 == 0, (S, D, H)
+    t = P.reshape(B, D, H, U, S // 2, 2, C).max(axis=5)
+    t = t.reshape(B, D // 2, 2, H // 2, 2, U, (S // 2) * C)
+    return t.max(axis=(2, 4))
+
+
 def _stream_offsets(S: int, ci_splits):
     offs, off = [], 0
     for ci in ci_splits:

@@ -85,18 +85,19 @@ def test_micformer_fused_head_matches_two_op_path(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
-def test_head_convt_via_conv3_matches_conv_transpose(rng):
+def test_head_convt_via_dot_matches_conv_transpose(rng):
     """The round-5 head reformulation: conv_transpose(k=6, s=4, pad (4,4))
-    == SAME k3 conv over the input grid + depth-to-space (micformer.
-    _convt_s4_k6_via_conv3) — exact, including borders, on odd extents."""
-    from micformer_tpu.models.micformer import _convt_s4_k6_via_conv3
+    == k=2 VALID conv over the shifted residue blocking + depth-to-space +
+    border slice (micformer._convt_s4_k6_via_dot) — exact, including
+    borders, on odd extents."""
+    from micformer_tpu.models.micformer import _convt_s4_k6_via_dot
 
     kc = jnp.asarray(rng.normal(size=(6, 6, 6, 6, 5)).astype(np.float32))
     x = jnp.asarray(rng.normal(size=(2, 8, 7, 5, 6)).astype(np.float32))
     ref = jax.lax.conv_transpose(x, kc, strides=(4, 4, 4),
                                  padding=((4, 4),) * 3,
                                  dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    got = _convt_s4_k6_via_conv3(x, kc)
+    got = _convt_s4_k6_via_dot(x, kc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
